@@ -1,0 +1,374 @@
+"""Typed configuration tree for bm2f_tpu.
+
+Mirrors the knobs of the reference yacs config (reference:
+mask2former/config.py:6-166 `add_maskformer2_config`,
+mask2former_video/config.py:6-12 `add_maskformer2_video_config`) as frozen
+dataclasses. Unlike the reference's mutable CfgNode, configs here are
+immutable and hashable so they can be closed over by jitted functions as
+static values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional, Sequence, Tuple
+
+
+def _freeze(x):
+    if isinstance(x, list):
+        return tuple(_freeze(v) for v in x)
+    return x
+
+
+@dataclass(frozen=True)
+class SwinConfig:
+    """Swin backbone knobs (reference: mask2former/config.py:74-90)."""
+
+    pretrain_img_size: int = 224
+    patch_size: int = 4
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.3
+    ape: bool = False
+    patch_norm: bool = True
+    out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
+    use_checkpoint: bool = False
+
+
+@dataclass(frozen=True)
+class ResNetConfig:
+    """ResNet backbone knobs (reference uses detectron2 builtin R50/R101)."""
+
+    depth: int = 50
+    norm: str = "frozen_bn"  # detectron2 default for COCO models
+    out_features: Tuple[str, ...] = ("res2", "res3", "res4", "res5")
+    stem_type: str = "basic"
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    name: str = "resnet"  # "resnet" | "swin"
+    resnet: ResNetConfig = field(default_factory=ResNetConfig)
+    swin: SwinConfig = field(default_factory=SwinConfig)
+
+
+@dataclass(frozen=True)
+class PixelDecoderConfig:
+    """MSDeformAttn pixel decoder (reference: msdeformattn.py:165-358) or FPN
+    (fpn.py:38-204)."""
+
+    name: str = "msdeform"  # "msdeform" | "fpn" | "transformer_fpn"
+    conv_dim: int = 256
+    mask_dim: int = 256
+    norm: str = "group_norm"  # GN32 in the reference
+    # deformable encoder
+    transformer_in_features: Tuple[str, ...] = ("res3", "res4", "res5")
+    transformer_enc_layers: int = 6
+    transformer_nheads: int = 8
+    transformer_dim_feedforward: int = 1024  # reference msdeformattn.py:204
+    transformer_n_points: int = 4
+    common_stride: int = 4
+    dropout: float = 0.0
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """Masked transformer decoder (reference:
+    mask2former_transformer_decoder.py:207-465)."""
+
+    name: str = "multi_scale_masked"  # | "standard"
+    hidden_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9  # reference passes DEC_LAYERS-1=9 conv blocks for 10 rounds of heads
+    pre_norm: bool = False
+    mask_dim: int = 256
+    enforce_input_project: bool = False
+    num_feature_levels: int = 3
+    dropout: float = 0.0
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    """Inference-path switches (reference: config.py:54-60)."""
+
+    semantic_on: bool = True
+    instance_on: bool = False
+    panoptic_on: bool = False
+    object_mask_threshold: float = 0.0
+    overlap_threshold: float = 0.0
+    sem_seg_postprocessing_before_inference: bool = False
+    # video inference
+    topk_per_video: int = 10
+
+
+@dataclass(frozen=True)
+class PairwiseConfig:
+    """Weak-supervision pairwise-loss knobs (reference: config.py:126-136)."""
+
+    size: int = 3
+    dilation: int = 2
+    color_thresh: float = 0.3
+    warmup_iters: int = 10000
+    point_sample: bool = False
+    train_num_points: int = 112 * 112
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    topk: int = 1  # temporal-pairwise DINO patch match topk
+
+
+@dataclass(frozen=True)
+class WeakSupervisionConfig:
+    """Box-supervised training (reference: config.py:119-136)."""
+
+    bbox_weight: float = 5.0
+    giou_weight: float = 2.0
+    projection_weight: float = 5.0
+    pairwise_weight: float = 5.0
+    temporal_pairwise_weight: float = 5.0
+    pairwise: PairwiseConfig = field(default_factory=PairwiseConfig)
+    # progressive pseudo-mask update (referenced by the model but commented out
+    # of the reference config — a latent defect we implement properly;
+    # reference: maskformer_model.py:190-195, criterion.py:625-676)
+    mask_update_enabled: bool = False
+    mask_update_steps: Tuple[float, ...] = (0.0, 0.5, 1.0)
+    mask_update_pix_thrs: Tuple[float, ...] = (0.0, 0.5)
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Matching + criterion weights (reference: config.py:33-37, 108-114)."""
+
+    deep_supervision: bool = True
+    no_object_weight: float = 0.1
+    class_weight: float = 2.0  # maskformer2 default (Base-COCO yaml)
+    dice_weight: float = 5.0
+    mask_weight: float = 5.0
+    train_num_points: int = 112 * 112
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    # "mask" | "mask_projection" | "mask_projection_and_pairwise" (image)
+    # video adds "..._and_spatial_pairwise[_and_temporal_pairwise]"
+    sup_type: str = "mask"
+    weak: WeakSupervisionConfig = field(default_factory=WeakSupervisionConfig)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    pixel_decoder: PixelDecoderConfig = field(default_factory=PixelDecoderConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    num_classes: int = 80
+    size_divisibility: int = 32
+    # detectron2 BGR pixel stats (Base-COCO yaml); images arrive RGB and we
+    # convert in the input pipeline.
+    pixel_mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
+    pixel_std: Tuple[float, ...] = (58.395, 57.12, 57.375)
+    test: TestConfig = field(default_factory=TestConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    # numerics: "bfloat16" compute with float32 params, or "float32".
+    dtype: str = "float32"
+    # keep the deformable pixel-decoder encoder in f32 even under bf16
+    # (reference: msdeformattn.py:314 @autocast(enabled=False)).
+    pixel_decoder_f32: bool = True
+    # video
+    num_frames: int = 2
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """Reference: train_net.py:184-263 build_optimizer."""
+
+    name: str = "adamw"
+    base_lr: float = 1e-4
+    weight_decay: float = 0.05
+    weight_decay_norm: float = 0.0
+    weight_decay_embed: float = 0.0
+    backbone_multiplier: float = 0.1
+    clip_gradients: float = 0.01  # full-model L2 clip value
+    betas: Tuple[float, float] = (0.9, 0.999)
+    # schedule
+    max_iter: int = 368750
+    warmup_iters: int = 10
+    warmup_factor: float = 1.0
+    steps: Tuple[int, ...] = (327778, 355092)
+    gamma: float = 0.1
+
+
+@dataclass(frozen=True)
+class InputConfig:
+    """Static-shape input pipeline (reference: LSJ config.py:97-99 and
+    dataset mappers)."""
+
+    image_size: int = 1024  # LSJ crop size
+    min_scale: float = 0.1
+    max_scale: float = 2.0
+    dataset_mapper: str = "coco_instance_lsj"
+    color_aug_ssd: bool = False
+    size_divisibility: int = 32
+    max_instances: int = 100  # static G_max padding for targets
+    # video
+    sampling_frame_num: int = 2
+    sampling_frame_range: int = 20
+    sampling_frame_shuffle: bool = False
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    ims_per_batch: int = 16
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    checkpoint_period: int = 5000
+    log_period: int = 20
+    eval_period: int = 5000
+    seed: int = 0
+    output_dir: str = "./output"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit. The reference is DP-only over NCCL
+    (SURVEY §2.5); we default to pure DP over ICI but keep a model axis for
+    optional backbone sharding."""
+
+    data: int = -1  # -1 = all devices
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    input: InputConfig = field(default_factory=InputConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    task: str = "instance"  # "semantic" | "instance" | "panoptic" | "video"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _replace_nested(obj, path: str, value):
+    """Return a copy of nested frozen dataclasses with `path` (dot-separated)
+    replaced by `value`."""
+    head, _, rest = path.partition(".")
+    if not rest:
+        return dataclasses.replace(obj, **{head: _freeze(value)})
+    child = getattr(obj, head)
+    return dataclasses.replace(obj, **{head: _replace_nested(child, rest, value)})
+
+
+def update(cfg: Config, overrides: Mapping[str, Any]) -> Config:
+    """Apply {"model.decoder.num_queries": 200, ...} style overrides."""
+    for k, v in overrides.items():
+        cfg = _replace_nested(cfg, k, v)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Named presets mirroring the reference's key yaml configs.
+# ---------------------------------------------------------------------------
+
+
+def coco_instance_r50() -> Config:
+    """configs/coco/instance-segmentation/maskformer2_R50_bs16_50ep.yaml"""
+    return update(
+        Config(),
+        {
+            "task": "instance",
+            "model.num_classes": 80,
+            "model.test.semantic_on": False,
+            "model.test.instance_on": True,
+            "model.test.panoptic_on": False,
+            "model.test.object_mask_threshold": 0.8,
+        },
+    )
+
+
+def coco_panoptic_r50() -> Config:
+    """configs/coco/panoptic-segmentation/maskformer2_R50_bs16_50ep.yaml"""
+    return update(
+        Config(),
+        {
+            "task": "panoptic",
+            "model.num_classes": 133,
+            "model.test.semantic_on": True,
+            "model.test.instance_on": True,
+            "model.test.panoptic_on": True,
+            "model.test.object_mask_threshold": 0.8,
+            "model.test.overlap_threshold": 0.8,
+        },
+    )
+
+
+def ade20k_semantic_r50() -> Config:
+    """configs/ade20k/semantic-segmentation/maskformer2_R50_bs16_160k.yaml"""
+    return update(
+        Config(),
+        {
+            "task": "semantic",
+            "model.num_classes": 150,
+            "model.test.semantic_on": True,
+            "input.image_size": 512,
+            "input.dataset_mapper": "mask_former_semantic",
+            "train.optimizer.max_iter": 160000,
+        },
+    )
+
+
+def coco_panoptic_swin_l() -> Config:
+    """configs/coco/panoptic-segmentation/swin/maskformer2_swin_large_IN21k_384_bs16_100ep.yaml"""
+    cfg = coco_panoptic_r50()
+    return update(
+        cfg,
+        {
+            "model.backbone.name": "swin",
+            "model.backbone.swin.embed_dim": 192,
+            "model.backbone.swin.depths": (2, 2, 18, 2),
+            "model.backbone.swin.num_heads": (6, 12, 24, 48),
+            "model.backbone.swin.window_size": 12,
+            "model.backbone.swin.pretrain_img_size": 384,
+            "model.decoder.num_queries": 200,
+        },
+    )
+
+
+def ytvis2019_video_r50() -> Config:
+    """configs/youtubevis_2019/video_maskformer2_R50_bs16_8ep.yaml"""
+    return update(
+        Config(),
+        {
+            "task": "video",
+            "model.num_classes": 40,
+            "model.test.instance_on": True,
+            "model.test.semantic_on": False,
+            "model.num_frames": 2,
+            "input.image_size": 512,
+            "input.dataset_mapper": "ytvis",
+            "train.optimizer.max_iter": 6000,
+            "train.optimizer.steps": (4000,),
+        },
+    )
+
+
+PRESETS = {
+    "coco_instance_r50": coco_instance_r50,
+    "coco_panoptic_r50": coco_panoptic_r50,
+    "ade20k_semantic_r50": ade20k_semantic_r50,
+    "coco_panoptic_swin_l": coco_panoptic_swin_l,
+    "ytvis2019_video_r50": ytvis2019_video_r50,
+}
+
+
+def get_config(name: str, overrides: Optional[Mapping[str, Any]] = None) -> Config:
+    cfg = PRESETS[name]()
+    if overrides:
+        cfg = update(cfg, overrides)
+    return cfg

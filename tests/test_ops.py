@@ -1,0 +1,140 @@
+"""Parity tests for core ops against PyTorch (CPU) as the numerical oracle —
+mirrors the reference's only unit test (ops/test.py: CUDA-vs-PyTorch forward
+equality + gradcheck)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from bm2f_tpu.ops import (
+    grid_sample,
+    ms_deform_attn,
+    point_sample,
+    resize_bilinear,
+    resize_nearest,
+)
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((8, 8), (16, 16)), ((13, 9), (32, 40)), ((32, 48), (7, 11)), ((5, 5), (5, 5))],
+)
+def test_resize_bilinear_matches_torch(rng, in_hw, out_hw):
+    x = rng.randn(2, *in_hw, 3).astype(np.float32)
+    ours = resize_bilinear(jnp.asarray(x), *out_hw)
+    theirs = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        size=out_hw,
+        mode="bilinear",
+        align_corners=False,
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((8, 8), (16, 16)), ((32, 48), (7, 11))])
+def test_resize_nearest_matches_torch(rng, in_hw, out_hw):
+    x = rng.randn(2, *in_hw, 3).astype(np.float32)
+    ours = resize_nearest(jnp.asarray(x), *out_hw)
+    theirs = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), size=out_hw, mode="nearest"
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), rtol=1e-6, atol=1e-6)
+
+
+def test_grid_sample_matches_torch(rng):
+    B, H, W, C, N = 2, 9, 13, 4, 57
+    x = rng.randn(B, H, W, C).astype(np.float32)
+    # include out-of-range points to exercise zero padding
+    grid = (rng.rand(B, N, 2).astype(np.float32) * 2.6 - 1.3)
+    ours = grid_sample(jnp.asarray(x), jnp.asarray(grid))
+    theirs = F.grid_sample(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(grid).view(B, N, 1, 2),
+        mode="bilinear",
+        padding_mode="zeros",
+        align_corners=False,
+    )  # (B, C, N, 1)
+    theirs = theirs[..., 0].permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_point_sample_is_grid_sample_01(rng):
+    B, H, W, C, N = 1, 8, 8, 2, 16
+    x = rng.randn(B, H, W, C).astype(np.float32)
+    coords = rng.rand(B, N, 2).astype(np.float32)
+    a = point_sample(jnp.asarray(x), jnp.asarray(coords))
+    b = grid_sample(jnp.asarray(x), jnp.asarray(coords) * 2 - 1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def _torch_ms_deform_attn(value, spatial_shapes, loc, attn):
+    """Independent torch implementation of multi-scale deformable attention
+    (standard Deformable-DETR math) used as oracle."""
+    B, S, M, D = value.shape
+    _, Q, _, L, P, _ = loc.shape
+    out = torch.zeros(B, Q, M, D, dtype=value.dtype)
+    start = 0
+    for lid, (H, W) in enumerate(spatial_shapes):
+        v = value[:, start : start + H * W]  # (B, HW, M, D)
+        start += H * W
+        v = v.permute(0, 2, 3, 1).reshape(B * M, D, H, W)
+        g = loc[:, :, :, lid] * 2 - 1  # (B, Q, M, P, 2)
+        g = g.permute(0, 2, 1, 3, 4).reshape(B * M, Q, P, 2)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros", align_corners=False)
+        s = s.reshape(B, M, D, Q, P)
+        w = attn[:, :, :, lid].permute(0, 2, 1, 3)[:, :, None]  # (B, M, 1, Q, P)
+        out += (s * w).sum(-1).permute(0, 3, 1, 2)
+    return out.reshape(B, Q, M * D)
+
+
+@pytest.mark.parametrize("impl", ["xla"])
+def test_ms_deform_attn_matches_torch(rng, impl):
+    B, M, D, P = 2, 4, 8, 4
+    shapes = ((12, 16), (6, 8), (3, 4))
+    S = sum(h * w for h, w in shapes)
+    Q = 33
+    L = len(shapes)
+    value = rng.randn(B, S, M, D).astype(np.float32)
+    loc = rng.rand(B, Q, M, L, P, 2).astype(np.float32) * 1.2 - 0.1
+    attn = rng.rand(B, Q, M, L, P).astype(np.float32)
+    attn = attn / attn.sum(axis=(-1, -2), keepdims=True)
+
+    ours = ms_deform_attn(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn), impl=impl
+    )
+    theirs = _torch_ms_deform_attn(
+        torch.from_numpy(value), shapes, torch.from_numpy(loc), torch.from_numpy(attn)
+    )
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_ms_deform_attn_grads_match_torch(rng):
+    B, M, D, P = 1, 2, 4, 2
+    shapes = ((6, 8), (3, 4))
+    S = sum(h * w for h, w in shapes)
+    Q, L = 7, len(shapes)
+    value = rng.randn(B, S, M, D).astype(np.float32)
+    loc = (rng.rand(B, Q, M, L, P, 2) * 0.8 + 0.1).astype(np.float32)
+    attn = rng.rand(B, Q, M, L, P).astype(np.float32)
+    attn = attn / attn.sum(axis=(-1, -2), keepdims=True)
+
+    def f(v, l, a):
+        return jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2)
+
+    gv, gl, ga = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn)
+    )
+
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(loc).requires_grad_(True)
+    ta = torch.from_numpy(attn).requires_grad_(True)
+    out = _torch_ms_deform_attn(tv, shapes, tl, ta)
+    (out**2).sum().backward()
+
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,81 @@
+"""Sine position embeddings (DETR-style), matching the reference
+`PositionEmbeddingSine` (reference: position_encoding.py:12-52) and its 3D
+video variant (mask2former_video/modeling/transformer_decoder/position_encoding.py).
+
+All spatial sizes are static, and the model never masks padded pixels in the
+encoder (the reference passes an all-False mask, msdeformattn.py:62), so the
+embedding is a compile-time constant table — computed in numpy-free jnp but
+fully foldable by XLA.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _interleave_sin_cos(pos: np.ndarray) -> np.ndarray:
+    """torch: stack((p[..., 0::2].sin(), p[..., 1::2].cos()), -1).flatten(-2)."""
+    s = np.sin(pos[..., 0::2])
+    c = np.cos(pos[..., 1::2])
+    return np.stack((s, c), axis=-1).reshape(*pos.shape[:-1], -1)
+
+
+def sine_position_embedding_2d(
+    h: int,
+    w: int,
+    num_pos_feats: int = 128,
+    temperature: float = 10000.0,
+    normalize: bool = True,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Returns (H, W, 2*num_pos_feats) with channel order [y-feats, x-feats]."""
+    scale = 2 * math.pi
+    y = np.arange(1, h + 1, dtype=np.float64)[:, None] * np.ones((1, w))
+    x = np.arange(1, w + 1, dtype=np.float64)[None, :] * np.ones((h, 1))
+    if normalize:
+        eps = 1e-6
+        y = y / (h + eps) * scale
+        x = x / (w + eps) * scale
+    dim_t = np.arange(num_pos_feats, dtype=np.float64)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+    pos_y = _interleave_sin_cos(y[..., None] / dim_t)
+    pos_x = _interleave_sin_cos(x[..., None] / dim_t)
+    pos = np.concatenate([pos_y, pos_x], axis=-1).astype(np.float32)
+    return jnp.asarray(pos, dtype=dtype)
+
+
+def sine_position_embedding_3d(
+    t: int,
+    h: int,
+    w: int,
+    num_pos_feats: int = 128,
+    temperature: float = 10000.0,
+    normalize: bool = True,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Video variant: (T, H, W, 3*...) per the reference
+    PositionEmbeddingSine3D — z (temporal) features are appended with the
+    same interleaving; channel order [z-feats, y-feats, x-feats] matching
+    torch cat((pos_z, pos_y, pos_x), dim=-1).
+
+    Note the reference uses num_pos_feats for y/x and the same for z.
+    """
+    scale = 2 * math.pi
+    z = np.arange(1, t + 1, dtype=np.float64)[:, None, None] * np.ones((1, h, w))
+    y = np.arange(1, h + 1, dtype=np.float64)[None, :, None] * np.ones((t, 1, w))
+    x = np.arange(1, w + 1, dtype=np.float64)[None, None, :] * np.ones((t, h, 1))
+    if normalize:
+        eps = 1e-6
+        z = z / (t + eps) * scale
+        y = y / (h + eps) * scale
+        x = x / (w + eps) * scale
+    dim_t = np.arange(num_pos_feats, dtype=np.float64)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+    pos_z = _interleave_sin_cos(z[..., None] / dim_t)
+    pos_y = _interleave_sin_cos(y[..., None] / dim_t)
+    pos_x = _interleave_sin_cos(x[..., None] / dim_t)
+    pos = np.concatenate([pos_z, pos_y, pos_x], axis=-1).astype(np.float32)
+    return jnp.asarray(pos, dtype=dtype)

@@ -1,0 +1,173 @@
+"""Matching + criterion tests: LSA correctness vs scipy, auction vs exact,
+cost parity vs a torch re-implementation, and loss sanity."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from bm2f_tpu.losses import SetCriterionConfig, set_criterion
+from bm2f_tpu.matching import hungarian_assign, match
+from bm2f_tpu.matching.hungarian import auction_assign
+from bm2f_tpu.matching.matcher import batch_dice_cost, batch_sigmoid_ce_cost
+
+
+def _cost_of(costs, assign):
+    B, Q, G = costs.shape
+    return sum(costs[b, assign[b, g], g] for b in range(B) for g in range(G))
+
+
+def test_hungarian_assign_matches_scipy(rng):
+    from scipy.optimize import linear_sum_assignment
+
+    costs = rng.rand(6, 20, 7).astype(np.float32)
+    out = np.asarray(hungarian_assign(jnp.asarray(costs)))
+    for b in range(6):
+        rows, cols = linear_sum_assignment(costs[b])
+        ours = _cost_of(costs[b : b + 1], out[b : b + 1])
+        theirs = costs[b][rows, cols].sum()
+        assert abs(ours - theirs) < 1e-5
+        assert len(set(out[b])) == 7  # one-to-one
+
+
+def test_auction_assign_near_optimal(rng):
+    from scipy.optimize import linear_sum_assignment
+
+    costs = rng.rand(4, 30, 10).astype(np.float32)
+    out = np.asarray(auction_assign(jnp.asarray(costs), num_iters=400))
+    for b in range(4):
+        assert len(set(out[b])) == 10, "assignment must be one-to-one"
+        rows, cols = linear_sum_assignment(costs[b])
+        opt = costs[b][rows, cols].sum()
+        got = _cost_of(costs[b : b + 1], out[b : b + 1])
+        assert got <= opt + 0.15, f"auction too far from optimal: {got} vs {opt}"
+
+
+def test_batch_costs_match_torch(rng):
+    Q, G, N = 10, 4, 64
+    pred = rng.randn(Q, N).astype(np.float32)
+    tgt = (rng.rand(G, N) > 0.5).astype(np.float32)
+
+    ce = np.asarray(batch_sigmoid_ce_cost(jnp.asarray(pred), jnp.asarray(tgt)))
+    dice = np.asarray(batch_dice_cost(jnp.asarray(pred), jnp.asarray(tgt)))
+
+    tp, tt = torch.from_numpy(pred), torch.from_numpy(tgt)
+    pos = F.binary_cross_entropy_with_logits(tp, torch.ones_like(tp), reduction="none")
+    neg = F.binary_cross_entropy_with_logits(tp, torch.zeros_like(tp), reduction="none")
+    ce_ref = (torch.einsum("nc,mc->nm", pos, tt) + torch.einsum("nc,mc->nm", neg, 1 - tt)) / N
+    sp = tp.sigmoid()
+    dice_ref = 1 - (2 * torch.einsum("nc,mc->nm", sp, tt) + 1) / (
+        sp.sum(-1)[:, None] + tt.sum(-1)[None, :] + 1
+    )
+    np.testing.assert_allclose(ce, ce_ref.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(dice, dice_ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def _toy_batch(rng, B=2, Q=8, K=5, G=3, h=16, w=16):
+    logits = rng.randn(B, Q, K + 1).astype(np.float32)
+    masks = rng.randn(B, Q, h, w).astype(np.float32)
+    tgt_labels = rng.randint(0, K, (B, G)).astype(np.int32)
+    tgt_masks = (rng.rand(B, G, h * 4, w * 4) > 0.7).astype(np.float32)
+    valid = np.ones((B, G), bool)
+    valid[1, 2] = False  # one padded target
+    return logits, masks, tgt_labels, tgt_masks, valid
+
+
+def test_match_respects_validity(rng):
+    logits, masks, labels, gt, valid = _toy_batch(rng)
+    a = np.asarray(
+        match(
+            jnp.asarray(logits), jnp.asarray(masks), jnp.asarray(labels),
+            jnp.asarray(gt), jnp.asarray(valid), jax.random.PRNGKey(0),
+            num_points=256,
+        )
+    )
+    assert a.shape == (2, 3)
+    for b in range(2):
+        assert len(set(a[b])) == 3  # distinct queries even for padding
+
+
+def test_set_criterion_runs_and_is_finite(rng):
+    logits, masks, labels, gt, valid = _toy_batch(rng)
+    L = 2
+    outputs = {
+        "pred_logits": jnp.asarray(logits),
+        "pred_masks": jnp.asarray(masks),
+        "aux_logits": jnp.asarray(np.stack([logits] * L)),
+        "aux_masks": jnp.asarray(np.stack([masks] * L)),
+    }
+    targets = {
+        "labels": jnp.asarray(labels),
+        "masks": jnp.asarray(gt),
+        "valid": jnp.asarray(valid),
+    }
+    cfg = SetCriterionConfig(num_classes=5, num_points=256)
+    total, losses = set_criterion(outputs, targets, cfg, jax.random.PRNGKey(1))
+    assert np.isfinite(float(total))
+    assert set(k.rsplit("_", 1)[0] for k in losses) >= {"loss_ce", "loss_mask", "loss_dice"}
+    assert len(losses) == 3 * (L + 1)
+
+
+def test_criterion_grads_finite(rng):
+    logits, masks, labels, gt, valid = _toy_batch(rng)
+    targets = {
+        "labels": jnp.asarray(labels),
+        "masks": jnp.asarray(gt),
+        "valid": jnp.asarray(valid),
+    }
+    cfg = SetCriterionConfig(num_classes=5, num_points=256)
+
+    def f(logits, masks):
+        outputs = {
+            "pred_logits": logits,
+            "pred_masks": masks,
+            "aux_logits": logits[None],
+            "aux_masks": masks[None],
+        }
+        total, _ = set_criterion(outputs, targets, cfg, jax.random.PRNGKey(1))
+        return total
+
+    gl, gm = jax.grad(f, argnums=(0, 1))(jnp.asarray(logits), jnp.asarray(masks))
+    assert np.isfinite(np.asarray(gl)).all() and np.isfinite(np.asarray(gm)).all()
+    assert np.abs(np.asarray(gm)).sum() > 0
+
+
+def test_perfect_prediction_low_loss(rng):
+    """Overfit sanity: predictions exactly matching GT give near-zero mask
+    loss and matched CE."""
+    B, Q, K, G, h, w = 1, 4, 3, 2, 32, 32
+    gt = np.zeros((B, G, h, w), np.float32)
+    gt[0, 0, :16] = 1
+    gt[0, 1, 16:] = 1
+    labels = np.array([[0, 1]], np.int32)
+    masks = np.full((B, Q, h, w), -20.0, np.float32)
+    masks[0, 0] = np.where(gt[0, 0] > 0, 20.0, -20.0)
+    masks[0, 1] = np.where(gt[0, 1] > 0, 20.0, -20.0)
+    logits = np.full((B, Q, K + 1), 0.0, np.float32)
+    logits[0, :, K] = 10.0  # default no-object
+    logits[0, 0] = 0; logits[0, 0, 0] = 10.0
+    logits[0, 1] = 0; logits[0, 1, 1] = 10.0
+
+    outputs = {
+        "pred_logits": jnp.asarray(logits),
+        "pred_masks": jnp.asarray(masks),
+        "aux_logits": jnp.zeros((0, B, Q, K + 1)),
+        "aux_masks": jnp.zeros((0, B, Q, h, w)),
+    }
+    targets = {
+        "labels": jnp.asarray(labels),
+        "masks": jnp.asarray(gt),
+        "valid": jnp.ones((B, G), bool),
+    }
+    cfg = SetCriterionConfig(num_classes=K, num_points=1024)
+    total, losses = set_criterion(outputs, targets, cfg, jax.random.PRNGKey(0))
+    # NOTE: uncertainty sampling concentrates 75% of points exactly on the
+    # mask boundary, where even a perfect step-function prediction has
+    # irreducible ~ln(2) BCE against the bilinearly-interpolated GT ramp —
+    # the reference behaves identically. Thresholds account for that.
+    assert float(losses["loss_dice"]) < 0.15
+    assert float(losses["loss_mask"]) < 0.75
+    assert float(losses["loss_ce"]) < 0.01

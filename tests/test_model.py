@@ -1,0 +1,93 @@
+"""Model-stack tests: shapes, parameter budget, inference paths."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bm2f_tpu.config import get_config
+from bm2f_tpu.models import build_model
+from bm2f_tpu.models.maskformer import (
+    instance_inference,
+    normalize_images,
+    panoptic_inference,
+    semantic_inference,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    cfg = get_config("coco_instance_r50")
+    model = build_model(cfg)
+    imgs = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), normalize_images(imgs, cfg.model))
+    return cfg, model, variables
+
+
+def test_forward_shapes(model_and_vars):
+    cfg, model, variables = model_and_vars
+    imgs = jnp.zeros((2, 128, 128, 3), jnp.float32)
+    out = model.apply(variables, normalize_images(imgs, cfg.model))
+    Q = cfg.model.decoder.num_queries
+    assert out["pred_logits"].shape == (2, Q, cfg.model.num_classes + 1)
+    assert out["pred_masks"].shape == (2, Q, 32, 32)  # stride 4
+    assert out["aux_logits"].shape == (9, 2, Q, cfg.model.num_classes + 1)
+    assert out["aux_masks"].shape == (9, 2, Q, 32, 32)
+    assert np.isfinite(np.asarray(out["pred_masks"])).all()
+
+
+def test_param_count_matches_reference(model_and_vars):
+    # Mask2Former R50 has ~44.0M params (MODEL_ZOO table). FrozenBN affines
+    # live in the 'frozen' collection and are not trained.
+    _, _, variables = model_and_vars
+    n = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    assert 43e6 < n < 45.5e6, f"param count {n}"
+
+
+def test_grads_flow(model_and_vars):
+    cfg, model, variables = model_and_vars
+    imgs = jnp.ones((1, 64, 64, 3), jnp.float32)
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, "frozen": variables["frozen"]},
+            normalize_images(imgs, cfg.model),
+        )
+        return jnp.sum(out["pred_masks"] ** 2) + jnp.sum(out["pred_logits"] ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # deep supervision means every decoder layer gets gradient
+    g = grads["sem_seg_head"]["predictor"]["cross_attn_0"]["multihead_attn"]
+    assert np.abs(np.asarray(g["in_proj_weight"])).sum() > 0
+
+
+def test_inference_paths(model_and_vars):
+    cfg, model, variables = model_and_vars
+    imgs = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    out = model.apply(variables, normalize_images(imgs, cfg.model))
+    logits, masks = out["pred_logits"][0], out["pred_masks"][0]
+
+    sem = semantic_inference(logits, masks)
+    assert sem.shape == (32, 32, 80)
+    assert (np.asarray(sem) >= 0).all()
+
+    inst = instance_inference(logits, masks, num_classes=80, topk=50)
+    assert inst["scores"].shape == (50,)
+    s = np.asarray(inst["scores"])
+    # scores are mask-rescored after top-k (reference :621), so not sorted —
+    # but must lie in [0, 1] and labels in range
+    assert (s >= 0).all() and (s <= 1).all()
+    assert (np.asarray(inst["labels"]) < 80).all()
+
+    pan = panoptic_inference(
+        logits, masks, num_classes=80, thing_mask=tuple([True] * 80),
+        object_mask_threshold=0.0, overlap_threshold=0.0,
+    )
+    quidx = np.asarray(pan["panoptic_quidx"])
+    valid = np.asarray(pan["valid"])
+    claimed = np.unique(quidx[quidx >= 0])
+    # every owning query must be flagged valid
+    assert all(valid[q] for q in claimed)

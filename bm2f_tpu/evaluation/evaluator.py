@@ -1,0 +1,32 @@
+"""DatasetEvaluator protocol + inference loop (replacement for detectron2's
+inference_on_dataset used by the reference's Trainer.test)."""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+
+def inference_on_dataset(
+    predict_fn: Callable[[Dict], Dict],
+    data_loader: Iterable[Dict],
+    process_fn: Callable[[Dict, Dict], None],
+    evaluate_fn: Callable[[], Dict[str, float]],
+    *,
+    log_every: int = 50,
+) -> Dict[str, float]:
+    """predict_fn: batched jitted model+inference; process_fn feeds each
+    (prediction, batch) pair into the evaluator(s)."""
+    n = 0
+    t0 = time.time()
+    for batch in data_loader:
+        preds = predict_fn(batch)
+        preds = jax.tree.map(np.asarray, preds)
+        process_fn(preds, batch)
+        n += 1
+        if n % log_every == 0:
+            print(f"inference {n} batches ({(time.time()-t0)/n:.3f} s/batch)")
+    return evaluate_fn()

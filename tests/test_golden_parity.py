@@ -1,0 +1,203 @@
+"""Golden parity tests: torch modules with the reference's exact semantics
+vs our Flax modules with converted weights. This is the per-module
+equivalent of eval-parity against zoo checkpoints (SURVEY.md §4b)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from bm2f_tpu.models.layers import MultiHeadAttention
+from bm2f_tpu.models.pixel_decoder import MSDeformAttnModule, encoder_reference_points
+from bm2f_tpu.models.position_encoding import sine_position_embedding_2d
+from bm2f_tpu.models.resnet import BottleneckBlock
+from bm2f_tpu.utils.convert_weights import _conv, _lin
+
+RTOL, ATOL = 2e-4, 2e-4
+
+
+def test_sine_position_embedding_matches_torch_formula():
+    """Reference PositionEmbeddingSine (position_encoding.py:29-52) with an
+    all-valid mask == cumsum of ones."""
+    H, W, npf = 7, 9, 16
+    ours = np.asarray(sine_position_embedding_2d(H, W, npf))
+
+    mask = torch.zeros(1, H, W, dtype=torch.bool)
+    not_mask = ~mask
+    y = not_mask.cumsum(1, dtype=torch.float32)
+    x = not_mask.cumsum(2, dtype=torch.float32)
+    eps = 1e-6
+    scale = 2 * np.pi
+    y = y / (y[:, -1:, :] + eps) * scale
+    x = x / (x[:, :, -1:] + eps) * scale
+    dim_t = torch.arange(npf, dtype=torch.float32)
+    dim_t = 10000 ** (2 * (dim_t // 2) / npf)
+    px = x[..., None] / dim_t
+    py = y[..., None] / dim_t
+    px = torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()), dim=4).flatten(3)
+    py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()), dim=4).flatten(3)
+    ref = torch.cat((py, px), dim=3)[0].numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_multihead_attention_matches_torch(rng):
+    B, Nq, Nk, C, H = 2, 5, 11, 32, 4
+    tm = nn.MultiheadAttention(C, H, batch_first=True)
+    q = rng.randn(B, Nq, C).astype(np.float32)
+    k = rng.randn(B, Nk, C).astype(np.float32)
+    v = rng.randn(B, Nk, C).astype(np.float32)
+    # boolean mask: True = blocked
+    mask = rng.rand(B * H, Nq, Nk) > 0.7
+    mask[:, :, 0] = False  # keep at least one key
+    with torch.no_grad():
+        ref, _ = tm(
+            torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+            attn_mask=torch.from_numpy(mask),
+        )
+
+    ours_mod = MultiHeadAttention(num_heads=H)
+    params = {
+        "in_proj_weight": jnp.asarray(_lin(tm.in_proj_weight.detach().numpy())),
+        "in_proj_bias": jnp.asarray(tm.in_proj_bias.detach().numpy()),
+        "out_proj": {
+            "kernel": jnp.asarray(_lin(tm.out_proj.weight.detach().numpy())),
+            "bias": jnp.asarray(tm.out_proj.bias.detach().numpy()),
+        },
+    }
+    bias = jnp.where(jnp.asarray(mask.reshape(B, H, Nq, Nk)), -1e9, 0.0)
+    out = ours_mod.apply(
+        {"params": params}, jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), bias
+    )
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=RTOL, atol=ATOL)
+
+
+def test_bottleneck_block_matches_torch(rng):
+    """Caffe-style bottleneck (stride_in_1x1) with frozen BN folding."""
+    Cin, Cb, Cout, stride = 16, 8, 32, 2
+    x = rng.randn(1, Cin, 16, 16).astype(np.float32)
+
+    convs = {}
+    for name, (ci, co, k, s) in {
+        "conv1": (Cin, Cb, 1, stride),
+        "conv2": (Cb, Cb, 3, 1),
+        "conv3": (Cb, Cout, 1, 1),
+        "shortcut": (Cin, Cout, 1, stride),
+    }.items():
+        w = (rng.randn(co, ci, k, k) * 0.1).astype(np.float32)
+        gamma = rng.rand(co).astype(np.float32) + 0.5
+        beta = rng.randn(co).astype(np.float32)
+        mean = rng.randn(co).astype(np.float32)
+        var = rng.rand(co).astype(np.float32) + 0.5
+        convs[name] = (w, gamma, beta, mean, var, s, k)
+
+    def t_convbn(x, name):
+        w, g, b, m, v, s, k = convs[name]
+        y = F.conv2d(x, torch.from_numpy(w), stride=s, padding=(k - 1) // 2)
+        return (y - torch.from_numpy(m)[None, :, None, None]) / torch.sqrt(
+            torch.from_numpy(v)[None, :, None, None] + 1e-5
+        ) * torch.from_numpy(g)[None, :, None, None] + torch.from_numpy(b)[
+            None, :, None, None
+        ]
+
+    tx = torch.from_numpy(x)
+    out = F.relu(t_convbn(tx, "conv1"))
+    out = F.relu(t_convbn(out, "conv2"))
+    out = t_convbn(out, "conv3")
+    ref = F.relu(out + t_convbn(tx, "shortcut")).numpy()
+
+    params, frozen = {}, {}
+    for name in convs:
+        w, g, b, m, v, s, k = convs[name]
+        params[name] = {"conv": {"kernel": jnp.asarray(_conv(w))}}
+        scale = g / np.sqrt(v + 1e-5)
+        frozen[name] = {
+            "norm": {"scale": jnp.asarray(scale), "bias": jnp.asarray(b - m * scale)}
+        }
+
+    block = BottleneckBlock(
+        bottleneck_channels=Cb, out_channels=Cout, stride=stride,
+        has_shortcut=True,
+    )
+    ours = block.apply(
+        {"params": params, "frozen": frozen},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), ref, rtol=RTOL, atol=ATOL
+    )
+
+
+def _torch_ms_deform_core(value, shapes, loc, attn):
+    B, S, M, D = value.shape
+    _, Q, _, L, P, _ = loc.shape
+    out = torch.zeros(B, Q, M, D)
+    start = 0
+    for lid, (H, W) in enumerate(shapes):
+        v = value[:, start : start + H * W]
+        start += H * W
+        v = v.permute(0, 2, 3, 1).reshape(B * M, D, H, W)
+        g = loc[:, :, :, lid] * 2 - 1
+        g = g.permute(0, 2, 1, 3, 4).reshape(B * M, Q, P, 2)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros", align_corners=False)
+        s = s.reshape(B, M, D, Q, P)
+        w = attn[:, :, :, lid].permute(0, 2, 1, 3)[:, :, None]
+        out += (s * w).sum(-1).permute(0, 3, 1, 2)
+    return out.reshape(B, Q, M * D)
+
+
+def test_msdeform_module_matches_torch(rng):
+    """Full MSDeformAttn module semantics (reference:
+    ops/modules/ms_deform_attn.py:82-125): value/offset/weight projections,
+    softmax over L*P, loc = ref + offset/normalizer, core, output proj."""
+    C, M, P = 32, 4, 4
+    shapes = ((8, 10), (4, 5))
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    B, Q = 2, S
+    q_in = rng.randn(B, Q, C).astype(np.float32)
+    src = rng.randn(B, Q, C).astype(np.float32)
+
+    lins = {}
+    for name, co in {
+        "sampling_offsets": M * L * P * 2,
+        "attention_weights": M * L * P,
+        "value_proj": C,
+        "output_proj": C,
+    }.items():
+        lins[name] = (
+            (rng.randn(co, C) * 0.05).astype(np.float32),
+            (rng.randn(co) * 0.05).astype(np.float32),
+        )
+
+    ref_pts = np.asarray(encoder_reference_points(shapes))  # (S, L, 2)
+
+    # torch reference
+    tq, tsrc = torch.from_numpy(q_in), torch.from_numpy(src)
+    def tl(name, x):
+        w, b = lins[name]
+        return F.linear(x, torch.from_numpy(w), torch.from_numpy(b))
+    value = tl("value_proj", tsrc).view(B, S, M, C // M)
+    offsets = tl("sampling_offsets", tq).view(B, Q, M, L, P, 2)
+    attn = tl("attention_weights", tq).view(B, Q, M, L * P)
+    attn = F.softmax(attn, -1).view(B, Q, M, L, P)
+    normalizer = torch.tensor([[w, h] for h, w in shapes], dtype=torch.float32)
+    rp = torch.from_numpy(ref_pts)[None, :, None, :, None, :]  # (1,S,1,L,1,2)
+    locs = rp + offsets / normalizer[None, None, None, :, None, :]
+    core = _torch_ms_deform_core(value, shapes, locs, attn)
+    ref = tl("output_proj", core).numpy()
+
+    # ours with converted weights
+    mod = MSDeformAttnModule(C, L, M, P)
+    params = {
+        name: {"kernel": jnp.asarray(_lin(w)), "bias": jnp.asarray(b)}
+        for name, (w, b) in lins.items()
+    }
+    ours = mod.apply(
+        {"params": params}, jnp.asarray(q_in), jnp.asarray(ref_pts),
+        jnp.asarray(src), shapes,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=RTOL, atol=ATOL)

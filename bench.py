@@ -38,18 +38,28 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), normalize_images(images[:1], cfg.model))
 
     @jax.jit
-    def fwd(images):
-        out = model.apply(variables, normalize_images(images, cfg.model))
+    def fwd(images, shift):
+        out = model.apply(
+            variables, normalize_images(images + shift, cfg.model)
+        )
         return out["pred_logits"], out["pred_masks"]
 
-    # warmup / compile
-    logits, masks = fwd(images)
+    # warmup / compile (with the device-scalar arg signature used below —
+    # avoids a silent mid-loop recompile)
+    shift = jnp.float32(0.0)
+    logits, masks = fwd(images, shift)
+    logits.block_until_ready()
+    shift = logits[0, 0, 0] * 1e-6
+    logits, masks = fwd(images, shift)
     logits.block_until_ready()
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        logits, masks = fwd(images)
+        # chain each iteration on the previous output so the runtime cannot
+        # dedupe identical dispatches
+        logits, masks = fwd(images, shift)
+        shift = logits[0, 0, 0] * 1e-6
     logits.block_until_ready()
     dt = time.perf_counter() - t0
 

@@ -1,0 +1,158 @@
+"""Video SetCriterion (reference: mask2former_video/modeling/criterion.py:144
+`VideoSetCriterion` + matcher.py:503 `VideoHungarianMatcher`):
+
+- matching costs are point-sampled per frame and concatenated over the clip
+  (clip-level one-to-one assignment);
+- mask losses flatten (instance, frame) pairs into the mask batch
+  (reference flattens NT x 1 x H x W before point sampling) while
+  num_masks stays the INSTANCE count.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bm2f_tpu.losses.criterion import SetCriterionConfig, _loss_labels
+from bm2f_tpu.losses.point_features import (
+    get_uncertain_point_coords_with_randomness,
+    sample_mask_points,
+)
+from bm2f_tpu.matching.matcher import (
+    PAD_COST,
+    batch_dice_cost,
+    batch_sigmoid_ce_cost,
+)
+from bm2f_tpu.ops import point_sample
+
+
+def video_matcher_costs(
+    pred_logits, pred_masks, tgt_labels, tgt_masks, tgt_valid, rng, *,
+    num_points, cost_class, cost_mask, cost_dice,
+):
+    """pred_masks (B,Q,T,h,w); tgt_masks (B,G,T,Hg,Wg) -> (B, Q, G)."""
+    B, Q = pred_logits.shape[:2]
+    G = tgt_labels.shape[1]
+    K = pred_logits.shape[-1] - 1
+    T = pred_masks.shape[2]
+
+    prob = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
+    labels_safe = jnp.clip(tgt_labels, 0, K - 1)
+    c_class = -jnp.take_along_axis(
+        prob[..., :K], labels_safe[:, None, :].repeat(Q, 1), axis=2
+    )
+
+    # shared random points per image, sampled in every frame
+    coords = jax.random.uniform(rng, (B, num_points, 2), jnp.float32)
+
+    def frame_points(masks):  # (B, N_masks, T, H, W) -> (B, N_masks, T*P)
+        Bm, Nm, T_, H, W = masks.shape
+        m = masks.reshape(Bm, Nm * T_, H, W).transpose(0, 2, 3, 1)
+        pts = point_sample(m.astype(jnp.float32), coords)  # (B, P, Nm*T)
+        return pts.transpose(0, 2, 1).reshape(Bm, Nm, T_ * num_points)
+
+    pred_pts = frame_points(pred_masks)
+    tgt_pts = frame_points(tgt_masks)
+
+    c_mask = jax.vmap(batch_sigmoid_ce_cost)(pred_pts, tgt_pts)
+    c_dice = jax.vmap(batch_dice_cost)(pred_pts, tgt_pts)
+    C = cost_class * c_class + cost_mask * c_mask + cost_dice * c_dice
+    return jnp.where(tgt_valid[:, None, :], C, PAD_COST)
+
+
+def _video_loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment,
+                      num_masks, cfg):
+    """pred (B,Q,T,h,w), tgt (B,G,T,Hg,Wg): per-frame point-sampled losses
+    summed over (instance, frame), / num_masks (instances)."""
+    B, Q, T, h, w = pred_masks.shape
+    G = tgt_valid.shape[1]
+    src = jnp.take_along_axis(
+        pred_masks, assignment[:, :, None, None, None], axis=1
+    )  # (B,G,T,h,w)
+    src = src.reshape(B * G * T, h, w).astype(jnp.float32)
+    tgt = tgt_masks.reshape(B * G * T, *tgt_masks.shape[3:]).astype(jnp.float32)
+    valid = jnp.repeat(tgt_valid.reshape(B * G), T).astype(jnp.float32)
+
+    coords = get_uncertain_point_coords_with_randomness(
+        rng, jax.lax.stop_gradient(src), cfg.num_points,
+        cfg.oversample_ratio, cfg.importance_sample_ratio,
+    )
+    point_logits = sample_mask_points(src, coords)
+    point_labels = jax.lax.stop_gradient(sample_mask_points(tgt, coords))
+
+    ce = (
+        jnp.maximum(point_logits, 0)
+        - point_logits * point_labels
+        + jax.nn.softplus(-jnp.abs(point_logits))
+    )
+    loss_mask = jnp.sum(ce.mean(-1) * valid) / num_masks
+    p = jax.nn.sigmoid(point_logits)
+    dice = 1.0 - (2 * jnp.sum(p * point_labels, -1) + 1.0) / (
+        jnp.sum(p, -1) + jnp.sum(point_labels, -1) + 1.0
+    )
+    loss_dice = jnp.sum(dice * valid) / num_masks
+    return loss_mask, loss_dice
+
+
+def video_set_criterion(
+    outputs: Dict[str, jnp.ndarray],
+    targets: Dict[str, jnp.ndarray],
+    cfg: SetCriterionConfig,
+    rng: jax.Array,
+    assign_fn=None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """outputs: pred_logits (B,Q,K+1), pred_masks (B,Q,T,h,w) + stacked aux.
+    targets: labels (B,G), masks (B,G,T,Hg,Wg), valid (B,G)."""
+    tgt_labels = targets["labels"]
+    tgt_masks = targets["masks"]
+    tgt_valid = targets["valid"]
+    B, G = tgt_labels.shape
+
+    logits_all = jnp.concatenate(
+        [outputs["aux_logits"], outputs["pred_logits"][None]], axis=0
+    )
+    masks_all = jnp.concatenate(
+        [outputs["aux_masks"], outputs["pred_masks"][None]], axis=0
+    )
+    L1 = logits_all.shape[0]
+    rngs = jax.random.split(rng, 2 * L1 + 1)
+
+    costs = []
+    for i in range(L1):
+        costs.append(
+            video_matcher_costs(
+                logits_all[i], jax.lax.stop_gradient(masks_all[i]),
+                tgt_labels, tgt_masks, tgt_valid, rngs[i],
+                num_points=cfg.num_points, cost_class=cfg.class_weight,
+                cost_mask=cfg.mask_weight, cost_dice=cfg.dice_weight,
+            )
+        )
+    costs = jax.lax.stop_gradient(jnp.stack(costs, axis=1))  # (B, L1, Q, G)
+    if assign_fn is None:
+        from bm2f_tpu.matching.hungarian import assign_fn_default
+
+        assign_fn = assign_fn_default
+    assignments = assign_fn(costs).transpose(1, 0, 2)  # (L1, B, G)
+
+    num_masks = jnp.maximum(jnp.sum(tgt_valid.astype(jnp.float32)), 1.0)
+
+    losses: Dict[str, jnp.ndarray] = {}
+    total = 0.0
+    for i in range(L1):
+        suffix = "" if i == L1 - 1 else f"_{i}"
+        loss_ce = _loss_labels(logits_all[i], tgt_labels, tgt_valid, assignments[i], cfg)
+        loss_mask, loss_dice = _video_loss_masks(
+            rngs[L1 + i], masks_all[i], tgt_masks, tgt_valid, assignments[i],
+            num_masks, cfg,
+        )
+        losses[f"loss_ce{suffix}"] = loss_ce
+        losses[f"loss_mask{suffix}"] = loss_mask
+        losses[f"loss_dice{suffix}"] = loss_dice
+        total = total + (
+            cfg.class_weight * loss_ce
+            + cfg.mask_weight * loss_mask
+            + cfg.dice_weight * loss_dice
+        )
+    return total, losses

@@ -1,0 +1,165 @@
+"""Weak-supervision criteria assembling projection/pairwise losses with
+Hungarian matching (reference: SetCriterionProj criterion.py:445,
+SetCriterionProjPair :184; matchers HungarianMatcherProj matcher.py:356,
+HungarianMatcherProjPair :219; selected by MODEL.MASK_FORMER.SUP_TYPE,
+maskformer_model.py:126-225).
+
+Targets (all static shapes, stride-4 resolution to match pred masks):
+  labels (B, G) int32; valid (B, G) bool;
+  box_masks (B, G, h, w); left/right_bounds (B, G, h);
+  top/bottom_bounds (B, G, w); color_similarity (B, h, w, K).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bm2f_tpu.losses.criterion import SetCriterionConfig, _loss_labels
+from bm2f_tpu.losses.weaksup import (
+    pairwise_cost_matrix,
+    pairwise_loss,
+    projection_cost_matrix,
+    projection_loss,
+)
+from bm2f_tpu.matching.matcher import PAD_COST
+
+
+def weaksup_matcher_costs(
+    pred_logits: jnp.ndarray,  # (B, Q, K+1)
+    pred_masks: jnp.ndarray,  # (B, Q, h, w)
+    targets: Dict[str, jnp.ndarray],
+    *,
+    cost_class: float,
+    cost_projection: float,
+    cost_pairwise: float = 0.0,
+    color_thresh: float = 0.3,
+    kernel_size: int = 3,
+    dilation: int = 2,
+    warmup_factor=1.0,
+) -> jnp.ndarray:
+    B, Q = pred_logits.shape[:2]
+    K = pred_logits.shape[-1] - 1
+    labels = targets["labels"]
+    valid = targets["valid"]
+    G = labels.shape[1]
+
+    prob = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
+    labels_safe = jnp.clip(labels, 0, K - 1)
+    c_class = -jnp.take_along_axis(
+        prob[..., :K], labels_safe[:, None, :].repeat(Q, 1), axis=2
+    )
+
+    def per_image(pm, bm, lb, rb, tb, bb, cs):
+        bounds = {
+            "left_bounds": lb, "right_bounds": rb,
+            "top_bounds": tb, "bottom_bounds": bb,
+        }
+        c = cost_projection * projection_cost_matrix(pm, bm, bounds)
+        if cost_pairwise > 0.0:
+            cs_per_tgt = jnp.broadcast_to(cs[None], (G, *cs.shape))
+            c = c + cost_pairwise * pairwise_cost_matrix(
+                pm, cs_per_tgt, bm,
+                color_thresh=color_thresh, kernel_size=kernel_size,
+                dilation=dilation, warmup_factor=warmup_factor,
+            )
+        return c
+
+    c_mask = jax.vmap(per_image)(
+        pred_masks.astype(jnp.float32),
+        targets["box_masks"],
+        targets["left_bounds"],
+        targets["right_bounds"],
+        targets["top_bounds"],
+        targets["bottom_bounds"],
+        targets["color_similarity"],
+    )
+    C = cost_class * c_class + c_mask
+    return jnp.where(valid[:, None, :], C, PAD_COST)
+
+
+def weaksup_set_criterion(
+    outputs: Dict[str, jnp.ndarray],
+    targets: Dict[str, jnp.ndarray],
+    cfg: SetCriterionConfig,
+    rng: jax.Array,
+    *,
+    sup_type: str = "mask_projection_and_pairwise",
+    projection_weight: float = 5.0,
+    pairwise_weight: float = 5.0,
+    color_thresh: float = 0.3,
+    kernel_size: int = 3,
+    dilation: int = 2,
+    warmup_factor=1.0,
+    assign_fn=None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Weak-sup training loss over final + aux layers."""
+    use_pairwise = "pairwise" in sup_type
+    labels, valid = targets["labels"], targets["valid"]
+    B, G = labels.shape
+
+    logits_all = jnp.concatenate(
+        [outputs["aux_logits"], outputs["pred_logits"][None]], axis=0
+    )
+    masks_all = jnp.concatenate(
+        [outputs["aux_masks"], outputs["pred_masks"][None]], axis=0
+    )
+    L1 = logits_all.shape[0]
+
+    costs = []
+    for i in range(L1):
+        costs.append(
+            weaksup_matcher_costs(
+                logits_all[i], jax.lax.stop_gradient(masks_all[i]), targets,
+                cost_class=cfg.class_weight,
+                cost_projection=projection_weight,
+                cost_pairwise=pairwise_weight if use_pairwise else 0.0,
+                color_thresh=color_thresh, kernel_size=kernel_size,
+                dilation=dilation, warmup_factor=warmup_factor,
+            )
+        )
+    costs = jax.lax.stop_gradient(jnp.stack(costs, axis=1))  # (B, L1, Q, G)
+    if assign_fn is None:
+        from bm2f_tpu.matching.hungarian import assign_fn_default
+
+        assign_fn = assign_fn_default
+    assignments = assign_fn(costs).transpose(1, 0, 2)  # (L1, B, G)
+
+    num_masks = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    bounds_flat = {
+        k: targets[k].reshape(B * G, -1)
+        for k in ("left_bounds", "right_bounds", "top_bounds", "bottom_bounds")
+    }
+    box_flat = targets["box_masks"].reshape(B * G, *targets["box_masks"].shape[2:])
+    valid_flat = valid.reshape(B * G).astype(jnp.float32)
+    K_edges = targets["color_similarity"].shape[-1]
+    cs_flat = jnp.broadcast_to(
+        targets["color_similarity"][:, None],
+        (B, G, *targets["color_similarity"].shape[1:]),
+    ).reshape(B * G, *targets["color_similarity"].shape[1:])
+
+    losses: Dict[str, jnp.ndarray] = {}
+    total = 0.0
+    for i in range(L1):
+        suffix = "" if i == L1 - 1 else f"_{i}"
+        loss_ce = _loss_labels(logits_all[i], labels, valid, assignments[i], cfg)
+        src = jnp.take_along_axis(
+            masks_all[i], assignments[i][:, :, None, None], axis=1
+        ).reshape(B * G, *masks_all[i].shape[2:]).astype(jnp.float32)
+        loss_proj = projection_loss(
+            src, box_flat, bounds_flat, valid_flat, num_masks
+        )
+        losses[f"loss_ce{suffix}"] = loss_ce
+        losses[f"loss_mask_projection{suffix}"] = loss_proj
+        total = total + cfg.class_weight * loss_ce + projection_weight * loss_proj
+        if use_pairwise:
+            loss_pair = pairwise_loss(
+                src, cs_flat, box_flat, valid_flat, num_masks,
+                color_thresh=color_thresh, kernel_size=kernel_size,
+                dilation=dilation, warmup_factor=warmup_factor,
+            )
+            losses[f"loss_pairwise{suffix}"] = loss_pair
+            total = total + pairwise_weight * loss_pair
+    return total, losses

@@ -56,13 +56,10 @@ def sine_position_embedding_3d(
     normalize: bool = True,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Video variant: (T, H, W, 3*...) per the reference
-    PositionEmbeddingSine3D — z (temporal) features are appended with the
-    same interleaving; channel order [z-feats, y-feats, x-feats] matching
-    torch cat((pos_z, pos_y, pos_x), dim=-1).
-
-    Note the reference uses num_pos_feats for y/x and the same for z.
-    """
+    """Video variant (reference: mask2former_video/.../position_encoding.py:29-57
+    PositionEmbeddingSine3D): pos = cat(pos_y, pos_x) + pos_z, where the
+    temporal features use a 2*num_pos_feats dim_t and are ADDED across the
+    full channel width. Returns (T, H, W, 2*num_pos_feats)."""
     scale = 2 * math.pi
     z = np.arange(1, t + 1, dtype=np.float64)[:, None, None] * np.ones((1, h, w))
     y = np.arange(1, h + 1, dtype=np.float64)[None, :, None] * np.ones((t, 1, w))
@@ -74,8 +71,10 @@ def sine_position_embedding_3d(
         x = x / (w + eps) * scale
     dim_t = np.arange(num_pos_feats, dtype=np.float64)
     dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
-    pos_z = _interleave_sin_cos(z[..., None] / dim_t)
+    dim_t_z = np.arange(num_pos_feats * 2, dtype=np.float64)
+    dim_t_z = temperature ** (2 * (dim_t_z // 2) / (num_pos_feats * 2))
     pos_y = _interleave_sin_cos(y[..., None] / dim_t)
     pos_x = _interleave_sin_cos(x[..., None] / dim_t)
-    pos = np.concatenate([pos_z, pos_y, pos_x], axis=-1).astype(np.float32)
+    pos_z = _interleave_sin_cos(z[..., None] / dim_t_z)
+    pos = (np.concatenate([pos_y, pos_x], axis=-1) + pos_z).astype(np.float32)
     return jnp.asarray(pos, dtype=dtype)

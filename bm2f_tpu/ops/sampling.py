@@ -38,13 +38,16 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     x1i = x0i + 1
     y1i = y0i + 1
 
+    # flat row-gather (embedding-lookup pattern — XLA's fast TPU gather path)
+    flat = img.reshape(B * H * W, C)
+    b_offset = jnp.arange(B, dtype=jnp.int32)[:, None] * (H * W)
+
     def gather(yi, xi):
         valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
         yc = jnp.clip(yi, 0, H - 1)
         xc = jnp.clip(xi, 0, W - 1)
-        flat = img.reshape(B, H * W, C)
-        idx = yc * W + xc  # (B, N)
-        v = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        idx = (b_offset + yc * W + xc).reshape(-1)  # (B*N,)
+        v = jnp.take(flat, idx, axis=0).reshape(B, -1, C)
         return v * valid[..., None].astype(img.dtype)
 
     w00 = ((1 - lx) * (1 - ly))[..., None].astype(img.dtype)

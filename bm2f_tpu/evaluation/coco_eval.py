@@ -191,9 +191,14 @@ class COCOMaskAPEvaluator:
             for i in range(len(precision) - 1, 0, -1):
                 precision[i - 1] = max(precision[i - 1], precision[i])
             # 101-point interpolation
-            idx = np.searchsorted(recall, RECALL_THRS, side="left")
-            prec_at = np.where(idx < len(precision), precision[np.minimum(idx, max(len(precision) - 1, 0))], 0.0)
             if len(precision) == 0:
-                prec_at = np.zeros_like(RECALL_THRS)
+                ap[ti] = 0.0
+                continue
+            idx = np.searchsorted(recall, RECALL_THRS, side="left")
+            prec_at = np.where(
+                idx < len(precision),
+                precision[np.minimum(idx, len(precision) - 1)],
+                0.0,
+            )
             ap[ti] = prec_at.mean()
         return ap

@@ -92,13 +92,104 @@ def _ms_deform_attn_xla(value, spatial_shapes, sampling_locations, attention_wei
     return out.reshape(B, Q, M * D).astype(dtype)
 
 
+def _ms_deform_attn_patch(value, spatial_shapes, sampling_locations, attention_weights):
+    """2x2-patch gather formulation: one lax.gather of (2, 2, D) slices per
+    (level, point) from the (B*M, H, W, D) level image. Bilinear weights are
+    separable, so border clamping is handled by placing the per-axis weights
+    at their clamped in-patch offsets (weights of out-of-image corners are
+    already zero). Fewer, larger gather descriptors than row gathers."""
+    from jax import lax
+
+    B, S, M, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    starts_lvl = level_start_index(spatial_shapes)
+    dtype = value.dtype
+
+    vbm = value.transpose(0, 2, 1, 3).reshape(B * M, S, D)
+    bm_ids = jnp.arange(B * M, dtype=jnp.int32).reshape(B, M, 1, 1)
+
+    out = jnp.zeros((B, M, Q, D), dtype)
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2),
+    )
+    for lid, (H, W) in enumerate(spatial_shapes):
+        img = vbm[:, starts_lvl[lid] : starts_lvl[lid] + H * W].reshape(
+            B * M, H, W, D
+        )
+        loc = sampling_locations[:, :, :, lid].transpose(0, 2, 1, 3, 4)  # (B,M,Q,P,2)
+        attn = attention_weights[:, :, :, lid].transpose(0, 2, 1, 3)  # (B,M,Q,P)
+        fx = loc[..., 0] * W - 0.5
+        fy = loc[..., 1] * H - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        lx = (fx - x0).astype(dtype)
+        ly = (fy - y0).astype(dtype)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        # per-axis weights with validity (zero outside the image)
+        wy0 = (1 - ly) * ((y0i >= 0) & (y0i < H)).astype(dtype)
+        wy1 = ly * ((y0i + 1 >= 0) & (y0i + 1 < H)).astype(dtype)
+        wx0 = (1 - lx) * ((x0i >= 0) & (x0i < W)).astype(dtype)
+        wx1 = lx * ((x0i + 1 >= 0) & (x0i + 1 < W)).astype(dtype)
+
+        ys = jnp.clip(y0i, 0, H - 2)
+        xs = jnp.clip(x0i, 0, W - 2)
+        # in-patch row/col of each corner after clamping (0 or 1; invalid
+        # corners have zero weight so their position is irrelevant, but we
+        # still clip it into the patch)
+        ry0 = jnp.clip(y0i - ys, 0, 1)
+        ry1 = jnp.clip(y0i + 1 - ys, 0, 1)
+        cx0 = jnp.clip(x0i - xs, 0, 1)
+        cx1 = jnp.clip(x0i + 1 - xs, 0, 1)
+
+        # per-axis patch weights: (..., 2)
+        wy_patch = jnp.stack(
+            [
+                wy0 * (ry0 == 0) + wy1 * (ry1 == 0),
+                wy0 * (ry0 == 1) + wy1 * (ry1 == 1),
+            ],
+            axis=-1,
+        )
+        wx_patch = jnp.stack(
+            [
+                wx0 * (cx0 == 0) + wx1 * (cx1 == 0),
+                wx0 * (cx0 == 1) + wx1 * (cx1 == 1),
+            ],
+            axis=-1,
+        )
+        # (B, M, Q, P, 2, 2) with attention folded in
+        w_patch = (
+            attn[..., None, None] * wy_patch[..., :, None] * wx_patch[..., None, :]
+        )
+
+        starts = jnp.stack(
+            [
+                jnp.broadcast_to(bm_ids, y0i.shape).reshape(-1),
+                ys.reshape(-1),
+                xs.reshape(-1),
+            ],
+            axis=-1,
+        )  # (B*M*Q*P, 3)
+        patches = lax.gather(
+            img, starts, dn, slice_sizes=(1, 2, 2, D),
+            mode=lax.GatherScatterMode.CLIP,
+        )  # (N, 2, 2, D)
+        patches = patches.reshape(B, M, Q, P, 2, 2, D)
+        out = out + jnp.einsum("bmqpij,bmqpijd->bmqd", w_patch, patches)
+
+    return out.transpose(0, 2, 1, 3).reshape(B, Q, M * D).astype(dtype)
+
+
 def ms_deform_attn(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     *,
-    impl: str = "xla",
+    impl: str = "patch",
 ) -> jnp.ndarray:
     """Multi-scale deformable attention core (see module docstring)."""
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
@@ -110,6 +201,10 @@ def ms_deform_attn(
         )
     if impl == "xla":
         return _ms_deform_attn_xla(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    elif impl == "patch":
+        return _ms_deform_attn_patch(
             value, spatial_shapes, sampling_locations, attention_weights
         )
     elif impl == "pallas":

@@ -23,8 +23,8 @@ def create_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if data == -1:
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model)
+    assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))
 
 

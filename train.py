@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Training entry point — the framework's train_net.py (reference:
+train_net.py:305-335 main/launch; one explicit SPMD process instead of
+one-process-per-GPU DDP).
+
+Usage:
+  python train.py --config coco_instance_r50 --opts train.ims_per_batch=8
+  python train.py --config coco_instance_r50 --eval-only --resume
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+
+
+def parse_overrides(pairs):
+    out = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True, help="preset name (bm2f_tpu.config.PRESETS)")
+    ap.add_argument("--dataset", default="coco_2017_train")
+    ap.add_argument("--eval-dataset", default="")
+    ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--max-iter", type=int, default=0)
+    ap.add_argument("--output", default="./output")
+    ap.add_argument("--wandb", action="store_true")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of steps 10-15")
+    ap.add_argument("opts", nargs="*", help="config overrides key=value")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bm2f_tpu.config import get_config, update
+    from bm2f_tpu.data import build_train_loader
+    from bm2f_tpu.data.datasets import register_all_builtin_datasets
+    from bm2f_tpu.data.mappers import MAPPERS
+    from bm2f_tpu.data.ytvis import register_all_ytvis
+    from bm2f_tpu.train.checkpoint import Checkpointer
+    from bm2f_tpu.train.trainer import Trainer
+    from bm2f_tpu.parallel.mesh import shard_batch
+    from bm2f_tpu.utils.events import (
+        ConsoleWriter, EventStorage, JSONWriter, TensorBoardWriter, WandBWriter,
+    )
+
+    cfg = get_config(args.config, parse_overrides(args.opts))
+    if args.max_iter:
+        cfg = update(cfg, {"train.optimizer.max_iter": args.max_iter})
+    register_all_builtin_datasets()
+    register_all_ytvis()
+
+    trainer = Trainer(cfg)
+    mapper_cls = MAPPERS[cfg.input.dataset_mapper]
+    mapper = mapper_cls(cfg.input, seed=cfg.train.seed)
+    loader = build_train_loader(
+        args.dataset, mapper, cfg.train.ims_per_batch, seed=cfg.train.seed
+    )
+
+    first = next(loader)
+    state = trainer.init_state(
+        jax.random.PRNGKey(cfg.train.seed), jnp.asarray(first["images"][:1])
+    )
+    ckpt = Checkpointer(os.path.join(args.output, "checkpoints"))
+    state = ckpt.resume_or_load(state, resume=args.resume)
+
+    if args.eval_only:
+        from eval import run_eval  # noqa: local CLI module
+
+        run_eval(cfg, trainer.model,
+                 {"params": state.params, "frozen": state.frozen},
+                 args.eval_dataset or args.dataset)
+        return
+
+    step_fn = trainer.compile_step(state)
+    storage = EventStorage()
+    writers = [
+        ConsoleWriter(cfg.train.log_period),
+        JSONWriter(os.path.join(args.output, "metrics.json"), cfg.train.log_period),
+        TensorBoardWriter(os.path.join(args.output, "tb"), cfg.train.log_period),
+    ]
+    if args.wandb:
+        writers.append(WandBWriter())
+
+    max_iter = cfg.train.optimizer.max_iter
+    batch = first
+    it = int(state.step)
+    while it < max_iter:
+        if args.profile and it == 10:
+            jax.profiler.start_trace(os.path.join(args.output, "profile"))
+        with trainer.mesh:
+            sb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()
+                              if k in ("images", "labels", "masks", "valid")},
+                             trainer.mesh)
+            state, metrics = step_fn(state, sb)
+        if args.profile and it == 15:
+            jax.profiler.stop_trace()
+        it = int(state.step)
+        storage.put_scalars(it, **{k: float(v) for k, v in metrics.items()})
+        for w in writers:
+            w.write(storage)
+        if it % cfg.train.checkpoint_period == 0:
+            ckpt.save(it, state)
+        batch = next(loader)
+
+    ckpt.save(it, state, force=True)
+    print(f"training done at iter {it}")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,7 +57,7 @@ class MSDeformAttnModule(nn.Module):
     n_heads: int
     n_points: int
     dtype: Any = jnp.float32
-    impl: str = "xla"
+    impl: str = "im2col"
 
     @nn.compact
     def __call__(self, query, reference_points, value_src, spatial_shapes):
@@ -120,7 +120,7 @@ class DeformableEncoderLayer(nn.Module):
     n_heads: int
     n_points: int
     dtype: Any = jnp.float32
-    impl: str = "xla"
+    impl: str = "im2col"
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes):
@@ -170,7 +170,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     in_channels: Dict[str, int]
     in_strides: Dict[str, int]
     dtype: Any = jnp.float32
-    deform_impl: str = "xla"
+    deform_impl: str = "im2col"
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]):

@@ -138,3 +138,32 @@ def test_ms_deform_attn_grads_match_torch(rng):
     np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_ms_deform_attn_pallas_interpret_matches(rng):
+    from bm2f_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
+
+    B, M, D, P = 1, 2, 32, 4
+    shapes = ((8, 8), (4, 4))
+    S = sum(h * w for h, w in shapes)
+    Q, L = 20, 2
+    value = jnp.asarray(rng.randn(B, S, M, D).astype(np.float32))
+    loc = jnp.asarray((rng.rand(B, Q, M, L, P, 2) * 1.2 - 0.1).astype(np.float32))
+    attn = jnp.asarray((rng.rand(B, Q, M, L, P) / 8).astype(np.float32))
+    a = ms_deform_attn(value, shapes, loc, attn, impl="xla")
+    b = ms_deform_attn_pallas(value, shapes, loc, attn, q_tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["patch", "im2col"])
+def test_ms_deform_attn_impl_parity(rng, impl):
+    B, M, D, P = 2, 4, 8, 4
+    shapes = ((12, 16), (6, 8), (3, 4))
+    S = sum(h * w for h, w in shapes)
+    Q, L = 33, 3
+    value = jnp.asarray(rng.randn(B, S, M, D).astype(np.float32))
+    loc = jnp.asarray((rng.rand(B, Q, M, L, P, 2) * 1.4 - 0.2).astype(np.float32))
+    attn = jnp.asarray((rng.rand(B, Q, M, L, P) / 12).astype(np.float32))
+    a = ms_deform_attn(value, shapes, loc, attn, impl="xla")
+    b = ms_deform_attn(value, shapes, loc, attn, impl=impl)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -199,3 +199,76 @@ class CocoClipDatasetMapper:
             "valid": s["valid"],
             "video_id": dd.get("image_id", -1),
         }
+
+
+class YTVISDatasetWithFeatsMapper(YTVISDatasetMapper):
+    """Train mapper that additionally loads precomputed per-frame DINOv2
+    patch features (reference: dataset_mapper_w_feat.py:127
+    YTVISDatasetWithFeatsMapper — loads .pt files named after each frame and
+    bilinearly resizes the 14x-patch grid, :250-267). Selected when
+    SUP_TYPE includes temporal pairwise (reference train_net_video.py:82-85).
+
+    Features are expected at `feats_root/<video>/<frame>.pt` (torch) or
+    `.npy`; emitted as "dino_feats": (T, Hp, Wp, C)."""
+
+    def __init__(self, cfg, is_train=True, seed=0, short_edge_choices=(360, 480),
+                 feats_root: str = "", patch_grid=(16, 16)):
+        super().__init__(cfg, is_train, seed, short_edge_choices)
+        self.feats_root = feats_root
+        self.patch_grid = patch_grid
+
+    def _load_feat(self, file_name: str):
+        import os
+
+        stem = os.path.splitext(os.path.basename(file_name))[0]
+        vid = os.path.basename(os.path.dirname(file_name))
+        for ext, loader in ((".npy", self._load_npy), (".pt", self._load_pt)):
+            p = os.path.join(self.feats_root, vid, stem + ext)
+            if os.path.exists(p):
+                return loader(p)
+        return None
+
+    @staticmethod
+    def _load_npy(p):
+        return np.load(p)
+
+    @staticmethod
+    def _load_pt(p):
+        import torch
+
+        t = torch.load(p, map_location="cpu", weights_only=False)
+        return t.numpy() if hasattr(t, "numpy") else np.asarray(t)
+
+    def __call__(self, dd):
+        sample = super().__call__(dd)
+        if sample is None:
+            return None
+        Hp, Wp = self.patch_grid
+        feats = []
+        T = sample["images"].shape[0]
+        C = None
+        for fi in range(T):
+            f = None
+            if self.feats_root:
+                f = self._load_feat(dd["file_names"][min(fi, len(dd["file_names"]) - 1)])
+            if f is None:
+                if C is None:
+                    C = 384  # DINOv2-S default
+                f = np.zeros((Hp, Wp, C), np.float32)
+            else:
+                if f.ndim == 2:  # (N, C) patch tokens
+                    g = int(round(f.shape[0] ** 0.5))
+                    f = f.reshape(g, g, -1)
+                C = f.shape[-1]
+                from bm2f_tpu.data.transforms import resize_image
+
+                # bilinear-resize patch grid to the fixed (Hp, Wp)
+                if f.shape[:2] != (Hp, Wp):
+                    import jax.numpy as _jnp
+
+                    from bm2f_tpu.ops import resize_bilinear as _rb
+
+                    f = np.asarray(_rb(_jnp.asarray(f)[None], Hp, Wp)[0])
+            feats.append(f.astype(np.float32))
+        sample["dino_feats"] = np.stack(feats)
+        return sample

@@ -94,8 +94,16 @@ def weaksup_set_criterion(
     dilation: int = 2,
     warmup_factor=1.0,
     assign_fn=None,
+    mask_update_pix_thr=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Weak-sup training loss over final + aux layers."""
+    """Weak-sup training loss over final + aux layers.
+
+    mask_update_pix_thr: optional traced scalar enabling the progressive
+    pseudo-mask update (reference: criterion.py:625-676 update_targets,
+    config keys WEAK_SUPERVISION.MASK_UPDATE.* — latent/commented in the
+    reference config): after matching, box masks are intersected with
+    confident regions of the FINAL layer's predictions before the
+    projection/pairwise losses are computed."""
     use_pairwise = "pairwise" in sup_type
     labels, valid = targets["labels"], targets["valid"]
     B, G = labels.shape
@@ -132,7 +140,17 @@ def weaksup_set_criterion(
         k: targets[k].reshape(B * G, -1)
         for k in ("left_bounds", "right_bounds", "top_bounds", "bottom_bounds")
     }
-    box_flat = targets["box_masks"].reshape(B * G, *targets["box_masks"].shape[2:])
+    box_masks = targets["box_masks"]
+    if mask_update_pix_thr is not None:
+        from bm2f_tpu.losses.weaksup import update_box_masks
+
+        box_masks = jax.lax.stop_gradient(
+            update_box_masks(
+                outputs["pred_masks"].astype(jnp.float32),
+                assignments[-1], box_masks, mask_update_pix_thr,
+            )
+        )
+    box_flat = box_masks.reshape(B * G, *box_masks.shape[2:])
     valid_flat = valid.reshape(B * G).astype(jnp.float32)
     K_edges = targets["color_similarity"].shape[-1]
     cs_flat = jnp.broadcast_to(

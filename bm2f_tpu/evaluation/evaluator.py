@@ -30,3 +30,18 @@ def inference_on_dataset(
         if n % log_every == 0:
             print(f"inference {n} batches ({(time.time()-t0)/n:.3f} s/batch)")
     return evaluate_fn()
+
+
+def verify_results(expected: Dict[str, float], results: Dict[str, float],
+                   tolerance: float = 0.3) -> bool:
+    """Assert metric parity against expected numbers (reference: detectron2
+    verify_results driven by TEST.EXPECTED_RESULTS, train_net.py:317)."""
+    ok = True
+    for k, v in expected.items():
+        got = results.get(k)
+        if got is None or abs(got - v) > tolerance:
+            print(f"verify_results FAIL: {k}: expected {v} got {got}")
+            ok = False
+        else:
+            print(f"verify_results OK: {k}: {got} (expected {v} +- {tolerance})")
+    return ok

@@ -80,13 +80,8 @@ class BottleneckBlock(nn.Module):
 
 def _max_pool_3x3_s2(x):
     """torch MaxPool2d(3, stride=2, padding=1) — pads with -inf."""
-    return jax.lax.reduce_window(
-        x,
-        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
-        jax.lax.max,
-        window_dimensions=(1, 3, 3, 1),
-        window_strides=(1, 2, 2, 1),
-        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    return nn.max_pool(
+        x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
     )
 
 

@@ -77,6 +77,11 @@ class PixelDecoderConfig:
     transformer_n_points: int = 4
     common_stride: int = 4
     dropout: float = 0.0
+    # rematerialize encoder layers in backward — the deformable sampling's
+    # gathered-row intermediates are ~2 GB/layer at 1024^2 and must not be
+    # saved as residuals (jax.checkpoint; analogue of the reference's
+    # activation-checkpointing memory strategy, SURVEY §2.5)
+    remat: bool = True
 
 
 @dataclass(frozen=True)

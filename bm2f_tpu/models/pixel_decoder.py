@@ -205,8 +205,13 @@ class MSDeformAttnPixelDecoder(nn.Module):
         )[None]  # (1, S, C)
         ref_points = encoder_reference_points(shapes)
 
+        layer_cls = (
+            nn.remat(DeformableEncoderLayer, static_argnums=(4,))
+            if cfg.remat
+            else DeformableEncoderLayer
+        )
         for li in range(cfg.transformer_enc_layers):
-            src = DeformableEncoderLayer(
+            src = layer_cls(
                 d_model=conv_dim,
                 d_ffn=cfg.transformer_dim_feedforward,
                 n_levels=L,

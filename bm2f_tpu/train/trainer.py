@@ -48,25 +48,90 @@ def criterion_config(cfg: Config) -> SetCriterionConfig:
 
 
 def make_train_step(cfg: Config, model, tx, assign_fn=None) -> Callable:
+    """Builds the jitted train step, dispatching the criterion on
+    cfg.task and MODEL.MASK_FORMER.SUP_TYPE exactly like the reference's
+    from_config wiring (maskformer_model.py:126-225,
+    video_maskformer_model.py:132-251) — but resolved at trace time, not via
+    registries."""
     ccfg = criterion_config(cfg)
+    sup = cfg.model.loss.sup_type
+    weak = cfg.model.loss.weak
+    is_video = cfg.task == "video"
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        rng, step_rng = jax.random.split(state.rng)
-
-        def loss_fn(params):
-            out = model.apply(
-                {"params": params, "frozen": state.frozen},
-                normalize_images(batch["images"], cfg.model),
-            )
+    def compute_loss(params, frozen, batch, step_rng, step):
+        out = model.apply(
+            {"params": params, "frozen": frozen},
+            normalize_images(batch["images"], cfg.model),
+        )
+        if sup == "mask":
             targets = {
                 "labels": batch["labels"],
                 "masks": batch["masks"],
                 "valid": batch["valid"],
             }
-            total, losses = set_criterion(
-                out, targets, ccfg, step_rng, assign_fn=assign_fn
+            if is_video:
+                from bm2f_tpu.losses.video_criterion import video_set_criterion
+
+                return video_set_criterion(
+                    out, targets, ccfg, step_rng, assign_fn=assign_fn
+                )
+            return set_criterion(out, targets, ccfg, step_rng, assign_fn=assign_fn)
+
+        # weak supervision: box-supervised targets built on device from the
+        # batch's (box) masks + raw images
+        from bm2f_tpu.losses.weaksup import (
+            mask_update_pix_thr as staged_thr, pairwise_warmup_factor,
+        )
+
+        warmup = pairwise_warmup_factor(step, weak.pairwise.warmup_iters)
+        if is_video:
+            from bm2f_tpu.losses.target_prep import build_video_weaksup_targets
+            from bm2f_tpu.losses.weaksup_video import video_weaksup_set_criterion
+
+            targets = build_video_weaksup_targets(
+                batch["images"], batch["labels"], batch["masks"],
+                batch["valid"], batch.get("dino_feats"),
+                kernel_size=weak.pairwise.size,
+                dilation=weak.pairwise.dilation,
             )
-            return total, losses
+            return video_weaksup_set_criterion(
+                out, targets, ccfg, step_rng, sup_type=sup,
+                projection_weight=weak.projection_weight,
+                pairwise_weight=weak.pairwise_weight,
+                temporal_pairwise_weight=weak.temporal_pairwise_weight,
+                color_thresh=weak.pairwise.color_thresh,
+                kernel_size=weak.pairwise.size,
+                dilation=weak.pairwise.dilation,
+                warmup_factor=warmup, assign_fn=assign_fn,
+            )
+        from bm2f_tpu.losses.target_prep import build_weaksup_targets
+        from bm2f_tpu.losses.weaksup_criterion import weaksup_set_criterion
+
+        targets = build_weaksup_targets(
+            batch["images"], batch["labels"], batch["masks"], batch["valid"],
+            kernel_size=weak.pairwise.size, dilation=weak.pairwise.dilation,
+        )
+        pix_thr = None
+        if weak.mask_update_enabled:
+            pix_thr = staged_thr(
+                step, cfg.train.optimizer.max_iter,
+                weak.mask_update_steps, weak.mask_update_pix_thrs,
+            )
+        return weaksup_set_criterion(
+            out, targets, ccfg, step_rng, sup_type=sup,
+            projection_weight=weak.projection_weight,
+            pairwise_weight=weak.pairwise_weight,
+            color_thresh=weak.pairwise.color_thresh,
+            kernel_size=weak.pairwise.size, dilation=weak.pairwise.dilation,
+            warmup_factor=warmup, assign_fn=assign_fn,
+            mask_update_pix_thr=pix_thr,
+        )
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            return compute_loss(params, state.frozen, batch, step_rng, state.step)
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -96,7 +161,12 @@ class Trainer:
 
     def __post_init__(self):
         self.mesh = create_mesh(self.cfg.mesh.data, self.cfg.mesh.model)
-        self.model = build_model(self.cfg)
+        if self.cfg.task == "video":
+            from bm2f_tpu.video import build_video_model
+
+            self.model = build_video_model(self.cfg)
+        else:
+            self.model = build_model(self.cfg)
         self.tx = None
         self._step_fn = None
 

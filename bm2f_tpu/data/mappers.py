@@ -139,11 +139,33 @@ class MaskFormerSemanticMapper:
         seed: int = 0,
         short_edge_choices=(512,),
         ignore_label: int = 255,
+        single_category_max_area: float = 1.0,
     ):
         self.cfg = cfg
         self.rng = np.random.RandomState(seed)
         self.short_edge_choices = short_edge_choices
         self.ignore_label = ignore_label
+        # reference: INPUT.CROP.SINGLE_CATEGORY_MAX_AREA (config.py:16-18) —
+        # retry random crops until no single category dominates
+        self.single_category_max_area = single_category_max_area
+
+    def _transform_with_category_constraint(self, h, w, sem):
+        S = self.cfg.image_size
+        for _ in range(10):
+            t = shortest_edge_transform(
+                self.rng, h, w, self.short_edge_choices,
+                crop_size=(S, S), fixed_pad=(S, S),
+            )
+            if self.single_category_max_area >= 1.0:
+                return t
+            sem_t = t.apply_segmap(sem, self.ignore_label)
+            labels, counts = np.unique(sem_t, return_counts=True)
+            counts = counts[labels != self.ignore_label]
+            if len(counts) == 0:
+                continue
+            if counts.max() <= self.single_category_max_area * sem_t.size:
+                return t
+        return t
 
     def __call__(self, dd: Dict) -> Optional[Dict]:
         img = dd.get("image")
@@ -155,10 +177,7 @@ class MaskFormerSemanticMapper:
                 sem = np.asarray(im).astype(np.int32)
         h, w = img.shape[:2]
         S = self.cfg.image_size
-        t = shortest_edge_transform(
-            self.rng, h, w, self.short_edge_choices,
-            crop_size=(S, S), fixed_pad=(S, S),
-        )
+        t = self._transform_with_category_constraint(h, w, sem)
         if self.cfg.color_aug_ssd:
             img = color_aug_ssd(self.rng, img)
         image = t.apply_image(img).astype(np.float32)

@@ -170,6 +170,26 @@ class Trainer:
         self.tx = None
         self._step_fn = None
 
+    def _make_assign_fn(self):
+        """Pick the Hungarian assignment implementation (see
+        TrainConfig.matcher). The exact host-LSA path runs the native C++ JV
+        solver through per-shard callbacks (a GLOBAL callback deadlocks the
+        SPMD all-reduce rendezvous); backends without host-callback support
+        (the axon TPU runtime) use the on-device auction solver."""
+        choice = self.cfg.train.matcher
+        platform = self.mesh.devices.flat[0].platform
+        if choice == "auto":
+            choice = "lap" if platform == "cpu" else "auction"
+        if choice == "auction":
+            from bm2f_tpu.matching.hungarian import make_auction_assign_fn
+
+            return make_auction_assign_fn(self.cfg.train.auction_iters)
+        if self.mesh.devices.size > 1:
+            from bm2f_tpu.matching.hungarian import make_sharded_assign_fn
+
+            return make_sharded_assign_fn(self.mesh)
+        return None  # criterion default: single host callback
+
     def init_state(self, rng: jax.Array, sample_images: jnp.ndarray) -> TrainState:
         variables = self.model.init(
             rng, normalize_images(sample_images, self.cfg.model)
@@ -186,14 +206,7 @@ class Trainer:
         )
 
     def compile_step(self, state: TrainState):
-        # multi-device: per-shard host LSA callbacks (a global callback
-        # deadlocks the SPMD all-reduce rendezvous — each shard must stay
-        # independent, exactly like per-rank scipy matching under DDP)
-        assign_fn = None
-        if self.mesh.devices.size > 1:
-            from bm2f_tpu.matching.hungarian import make_sharded_assign_fn
-
-            assign_fn = make_sharded_assign_fn(self.mesh)
+        assign_fn = self._make_assign_fn()
         train_step = make_train_step(self.cfg, self.model, self.tx, assign_fn)
         repl = NamedSharding(self.mesh, P())
         data = NamedSharding(self.mesh, P("data"))

@@ -171,3 +171,35 @@ def test_perfect_prediction_low_loss(rng):
     assert float(losses["loss_dice"]) < 0.15
     assert float(losses["loss_mask"]) < 0.75
     assert float(losses["loss_ce"]) < 0.01
+
+
+def test_auction_on_realistic_matcher_costs(rng):
+    """The auction solver is the production matcher on TPU (the axon runtime
+    rejects host callbacks) — verify near-exact agreement on REAL cost
+    structure, zero collisions among real targets."""
+    from bm2f_tpu.matching.hungarian import _solve_host
+    from bm2f_tpu.matching.matcher import hungarian_matcher_costs
+
+    B, Q, K, G = 4, 50, 20, 12
+    logits = jnp.asarray(rng.randn(B, Q, K + 1).astype(np.float32))
+    masks = jnp.asarray(rng.randn(B, Q, 16, 16).astype(np.float32) * 3)
+    labels = jnp.asarray(rng.randint(0, K, (B, G)).astype(np.int32))
+    gt = jnp.asarray((rng.rand(B, G, 32, 32) > 0.7).astype(np.float32))
+    valid = np.ones((B, G), bool)
+    valid[:, 10:] = False
+    C = np.asarray(
+        hungarian_matcher_costs(
+            logits, masks, labels, gt, jnp.asarray(valid),
+            jax.random.PRNGKey(0), num_points=512,
+        )
+    )
+    exact = _solve_host(C)
+    auc = np.asarray(auction_assign(jnp.asarray(C), num_iters=200))
+    agree = 0
+    for b in range(B):
+        a, e = auc[b, :10], exact[b, :10]
+        assert len(set(a.tolist())) == 10, "collision among real targets"
+        agree += (a == e).sum()
+        gap = C[b, a, np.arange(10)].sum() - C[b, e, np.arange(10)].sum()
+        assert gap < 0.1, f"cost gap too large: {gap}"
+    assert agree >= int(0.85 * B * 10), f"agreement too low: {agree}/{B*10}"

@@ -315,3 +315,18 @@ MAPPERS = {
     "mask_former_panoptic": MaskFormerPanopticMapper,
     "mask_former_instance": MaskFormerInstanceMapper,
 }
+
+
+def _video_mappers():
+    from bm2f_tpu.data.ytvis import (
+        CocoClipDatasetMapper, YTVISDatasetMapper, YTVISDatasetWithFeatsMapper,
+    )
+
+    return {
+        "ytvis": YTVISDatasetMapper,
+        "ytvis_with_feats": YTVISDatasetWithFeatsMapper,
+        "coco_clip": CocoClipDatasetMapper,
+    }
+
+
+MAPPERS.update(_video_mappers())

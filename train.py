@@ -64,7 +64,12 @@ def main():
     register_all_ytvis()
 
     trainer = Trainer(cfg)
-    mapper_cls = MAPPERS[cfg.input.dataset_mapper]
+    mapper_name = cfg.input.dataset_mapper
+    if cfg.task == "video" and "temporal_pairwise" in cfg.model.loss.sup_type:
+        # temporal pairwise needs per-frame DINO features
+        # (reference: train_net_video.py:82-85 mapper dispatch on SUP_TYPE)
+        mapper_name = "ytvis_with_feats"
+    mapper_cls = MAPPERS[mapper_name]
     mapper = mapper_cls(cfg.input, seed=cfg.train.seed)
     loader = build_train_loader(
         args.dataset, mapper, cfg.train.ims_per_batch, seed=cfg.train.seed
@@ -102,9 +107,11 @@ def main():
         if args.profile and it == 10:
             jax.profiler.start_trace(os.path.join(args.output, "profile"))
         with trainer.mesh:
-            sb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()
-                              if k in ("images", "labels", "masks", "valid")},
-                             trainer.mesh)
+            sb = shard_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()
+                 if k in ("images", "labels", "masks", "valid", "dino_feats")},
+                trainer.mesh,
+            )
             state, metrics = step_fn(state, sb)
         if args.profile and it == 15:
             jax.profiler.stop_trace()

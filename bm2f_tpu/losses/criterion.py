@@ -55,9 +55,12 @@ def _loss_labels(pred_logits, tgt_labels, tgt_valid, assignment, cfg):
     return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def _loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment, num_masks, cfg):
+def _loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment, num_masks,
+                cfg, per_group: int = 1):
     """Point-sampled sigmoid-CE + dice on matched masks
-    (reference: criterion.py:827-883)."""
+    (reference: criterion.py:827-883). With per_group > 1 the leading batch
+    axis is treated as per_group groups (decoder layers) and per-group
+    losses are returned as (per_group,) arrays."""
     B, Q, h, w = pred_masks.shape
     G = tgt_valid.shape[1]
     src = jnp.take_along_axis(
@@ -81,14 +84,16 @@ def _loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment, num_masks, cf
     ce = jnp.maximum(point_logits, 0) - point_logits * point_labels + jax.nn.softplus(
         -jnp.abs(point_logits)
     )
-    loss_mask = jnp.sum(ce.mean(-1) * valid) / num_masks
+    ce_per_mask = ce.mean(-1) * valid
 
     p = jax.nn.sigmoid(point_logits)
     numerator = 2.0 * jnp.sum(p * point_labels, -1)
     denominator = jnp.sum(p, -1) + jnp.sum(point_labels, -1)
-    dice = 1.0 - (numerator + 1.0) / (denominator + 1.0)
-    loss_dice = jnp.sum(dice * valid) / num_masks
-    return loss_mask, loss_dice
+    dice_per_mask = (1.0 - (numerator + 1.0) / (denominator + 1.0)) * valid
+
+    loss_mask = jnp.sum(ce_per_mask.reshape(per_group, -1), -1) / num_masks
+    loss_dice = jnp.sum(dice_per_mask.reshape(per_group, -1), -1) / num_masks
+    return loss_mask, loss_dice  # (per_group,) each
 
 
 def set_criterion(
@@ -118,52 +123,61 @@ def set_criterion(
     masks_all = jnp.concatenate(
         [outputs["aux_masks"], outputs["pred_masks"][None]], axis=0
     )
-    L1 = logits_all.shape[0]
+    L1, B = logits_all.shape[:2]
 
-    # --- one batched matching for every layer ---
-    rngs = jax.random.split(rng, 2 * L1 + 1)
-    costs = []
-    for i in range(L1):
-        costs.append(
-            hungarian_matcher_costs(
-                logits_all[i],
-                jax.lax.stop_gradient(masks_all[i]),
-                tgt_labels,
-                tgt_masks,
-                tgt_valid,
-                rngs[i],
-                num_points=cfg.num_points,
-                cost_class=cfg.class_weight,
-                cost_mask=cfg.mask_weight,
-                cost_dice=cfg.dice_weight,
-            )
-        )
+    # --- one batched matching for every layer: fold layers into the batch
+    # axis so the point-sample gathers and cost einsums of all L1 layers run
+    # as SINGLE ops (10x fewer kernels than a per-layer loop) ---
+    r_match, r_loss = jax.random.split(rng)
+    logits_f = logits_all.reshape(L1 * B, *logits_all.shape[2:])
+    masks_f = masks_all.reshape(L1 * B, *masks_all.shape[2:])
+
+    def tile(x):
+        return jnp.broadcast_to(x[None], (L1, *x.shape)).reshape(L1 * B, *x.shape[1:])
+
+    costs = hungarian_matcher_costs(
+        logits_f,
+        jax.lax.stop_gradient(masks_f),
+        tile(tgt_labels),
+        tile(tgt_masks),
+        tile(tgt_valid),
+        r_match,
+        num_points=cfg.num_points,
+        cost_class=cfg.class_weight,
+        cost_mask=cfg.mask_weight,
+        cost_dice=cfg.dice_weight,
+    ).reshape(L1, B, logits_all.shape[2], G)
     # (B, L1, Q, G): batch-major so sharded assign_fns split over images
-    costs = jax.lax.stop_gradient(jnp.stack(costs, axis=1))
+    costs = jax.lax.stop_gradient(costs.transpose(1, 0, 2, 3))
     if assign_fn is None:
         from bm2f_tpu.matching.hungarian import assign_fn_default
 
         assign_fn = assign_fn_default
     assignments = assign_fn(costs)  # (B, L1, G)
-    assignments = assignments.transpose(1, 0, 2)  # (L1, B, G)
+    assignments_l = assignments.transpose(1, 0, 2)  # (L1, B, G)
 
     num_masks = jnp.maximum(jnp.sum(tgt_valid.astype(jnp.float32)), 1.0)
+
+    # --- batched mask losses over every layer ---
+    loss_mask_all, loss_dice_all = _loss_masks(
+        r_loss, masks_f, tile(tgt_masks), tile(tgt_valid),
+        assignments_l.reshape(L1 * B, G), num_masks, cfg,
+        per_group=L1,
+    )
 
     losses: Dict[str, jnp.ndarray] = {}
     total = 0.0
     for i in range(L1):
         suffix = "" if i == L1 - 1 else f"_{i}"
-        loss_ce = _loss_labels(logits_all[i], tgt_labels, tgt_valid, assignments[i], cfg)
-        loss_mask, loss_dice = _loss_masks(
-            rngs[L1 + i], masks_all[i], tgt_masks, tgt_valid, assignments[i],
-            num_masks, cfg,
+        loss_ce = _loss_labels(
+            logits_all[i], tgt_labels, tgt_valid, assignments_l[i], cfg
         )
         losses[f"loss_ce{suffix}"] = loss_ce
-        losses[f"loss_mask{suffix}"] = loss_mask
-        losses[f"loss_dice{suffix}"] = loss_dice
+        losses[f"loss_mask{suffix}"] = loss_mask_all[i]
+        losses[f"loss_dice{suffix}"] = loss_dice_all[i]
         total = total + (
             cfg.class_weight * loss_ce
-            + cfg.mask_weight * loss_mask
-            + cfg.dice_weight * loss_dice
+            + cfg.mask_weight * loss_mask_all[i]
+            + cfg.dice_weight * loss_dice_all[i]
         )
     return total, losses

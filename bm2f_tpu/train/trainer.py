@@ -205,6 +205,14 @@ class Trainer:
             rng=jax.random.fold_in(rng, 1),
         )
 
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Place the state with the replicated sharding the compiled step
+        expects — avoids a silent SECOND compile on the first step (the
+        freshly-initialized state's default layout differs from the step
+        output's NamedSharding)."""
+        repl = NamedSharding(self.mesh, P())
+        return jax.device_put(state, jax.tree.map(lambda _: repl, state))
+
     def compile_step(self, state: TrainState):
         assign_fn = self._make_assign_fn()
         train_step = make_train_step(self.cfg, self.model, self.tx, assign_fn)
@@ -223,6 +231,7 @@ class Trainer:
             log_every: int = 20, hooks=()):
         if self._step_fn is None:
             self.compile_step(state)
+        state = self.shard_state(state)
         t0 = time.time()
         for i in range(num_steps):
             batch = next(data_iter)

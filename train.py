@@ -91,6 +91,7 @@ def main():
         return
 
     step_fn = trainer.compile_step(state)
+    state = trainer.shard_state(state)
     storage = EventStorage()
     writers = [
         ConsoleWriter(cfg.train.log_period),

@@ -125,30 +125,29 @@ def set_criterion(
     )
     L1, B = logits_all.shape[:2]
 
-    # --- one batched matching for every layer: fold layers into the batch
-    # axis so the point-sample gathers and cost einsums of all L1 layers run
-    # as SINGLE ops (10x fewer kernels than a per-layer loop) ---
-    r_match, r_loss = jax.random.split(rng)
-    logits_f = logits_all.reshape(L1 * B, *logits_all.shape[2:])
-    masks_f = masks_all.reshape(L1 * B, *masks_all.shape[2:])
-
-    def tile(x):
-        return jnp.broadcast_to(x[None], (L1, *x.shape)).reshape(L1 * B, *x.shape[1:])
-
-    costs = hungarian_matcher_costs(
-        logits_f,
-        jax.lax.stop_gradient(masks_f),
-        tile(tgt_labels),
-        tile(tgt_masks),
-        tile(tgt_valid),
-        r_match,
-        num_points=cfg.num_points,
-        cost_class=cfg.class_weight,
-        cost_mask=cfg.mask_weight,
-        cost_dice=cfg.dice_weight,
-    ).reshape(L1, B, logits_all.shape[2], G)
+    # NOTE on scheduling: folding all L1 layers into one giant batched
+    # point-sample/cost computation was tried and measured SLOWER on v5e
+    # (3.31 vs 2.45 s/step at 1024^2 — the huge fused gathers schedule
+    # worse); per-layer ops with ONE batched assignment win.
+    rngs = jax.random.split(rng, 2 * L1 + 1)
+    costs = []
+    for i in range(L1):
+        costs.append(
+            hungarian_matcher_costs(
+                logits_all[i],
+                jax.lax.stop_gradient(masks_all[i]),
+                tgt_labels,
+                tgt_masks,
+                tgt_valid,
+                rngs[i],
+                num_points=cfg.num_points,
+                cost_class=cfg.class_weight,
+                cost_mask=cfg.mask_weight,
+                cost_dice=cfg.dice_weight,
+            )
+        )
     # (B, L1, Q, G): batch-major so sharded assign_fns split over images
-    costs = jax.lax.stop_gradient(costs.transpose(1, 0, 2, 3))
+    costs = jax.lax.stop_gradient(jnp.stack(costs, axis=1))
     if assign_fn is None:
         from bm2f_tpu.matching.hungarian import assign_fn_default
 
@@ -158,13 +157,6 @@ def set_criterion(
 
     num_masks = jnp.maximum(jnp.sum(tgt_valid.astype(jnp.float32)), 1.0)
 
-    # --- batched mask losses over every layer ---
-    loss_mask_all, loss_dice_all = _loss_masks(
-        r_loss, masks_f, tile(tgt_masks), tile(tgt_valid),
-        assignments_l.reshape(L1 * B, G), num_masks, cfg,
-        per_group=L1,
-    )
-
     losses: Dict[str, jnp.ndarray] = {}
     total = 0.0
     for i in range(L1):
@@ -172,12 +164,17 @@ def set_criterion(
         loss_ce = _loss_labels(
             logits_all[i], tgt_labels, tgt_valid, assignments_l[i], cfg
         )
+        loss_mask, loss_dice = _loss_masks(
+            rngs[L1 + i], masks_all[i], tgt_masks, tgt_valid,
+            assignments_l[i], num_masks, cfg,
+        )
+        loss_mask, loss_dice = loss_mask[0], loss_dice[0]
         losses[f"loss_ce{suffix}"] = loss_ce
-        losses[f"loss_mask{suffix}"] = loss_mask_all[i]
-        losses[f"loss_dice{suffix}"] = loss_dice_all[i]
+        losses[f"loss_mask{suffix}"] = loss_mask
+        losses[f"loss_dice{suffix}"] = loss_dice
         total = total + (
             cfg.class_weight * loss_ce
-            + cfg.mask_weight * loss_mask_all[i]
-            + cfg.dice_weight * loss_dice_all[i]
+            + cfg.mask_weight * loss_mask
+            + cfg.dice_weight * loss_dice
         )
     return total, losses

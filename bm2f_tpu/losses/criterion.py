@@ -60,25 +60,58 @@ def _loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment, num_masks,
     """Point-sampled sigmoid-CE + dice on matched masks
     (reference: criterion.py:827-883). With per_group > 1 the leading batch
     axis is treated as per_group groups (decoder layers) and per-group
-    losses are returned as (per_group,) arrays."""
+    losses are returned as (per_group,) arrays.
+
+    TPU redesign of the point sampling: candidate and random points are
+    shared across the masks of an image (the reference already shares points
+    across all 100 queries in its matcher, matcher.py:528-540) so every
+    gather is a WIDE row gather over the G-mask channel axis — per-mask
+    point gathers are width-1 rows, ~25x more gather descriptors for the
+    same information (descriptor-bound on v5e). The per-mask TOP-K
+    uncertainty selection is unchanged."""
+    from bm2f_tpu.ops import point_sample
+
     B, Q, h, w = pred_masks.shape
     G = tgt_valid.shape[1]
     src = jnp.take_along_axis(
         pred_masks, assignment[:, :, None, None], axis=1
     )  # (B, G, h, w)
-    src = src.reshape(B * G, h, w).astype(jnp.float32)
-    tgt = tgt_masks.reshape(B * G, *tgt_masks.shape[2:]).astype(jnp.float32)
+    src = src.astype(jnp.float32)
+    tgt = tgt_masks.astype(jnp.float32)
     valid = tgt_valid.reshape(B * G).astype(jnp.float32)
 
-    coords = get_uncertain_point_coords_with_randomness(
-        rng,
-        jax.lax.stop_gradient(src),
-        cfg.num_points,
-        cfg.oversample_ratio,
-        cfg.importance_sample_ratio,
-    )
-    point_logits = sample_mask_points(src, coords)  # (BG, P)
-    point_labels = jax.lax.stop_gradient(sample_mask_points(tgt, coords))
+    n_imp = int(cfg.importance_sample_ratio * cfg.num_points)
+    n_rand = cfg.num_points - n_imp
+    n_cand = int(cfg.num_points * cfg.oversample_ratio)
+    r1, r2 = jax.random.split(rng)
+
+    # shared candidate points per image: wide (G-channel) gathers
+    cand = jax.random.uniform(r1, (B, n_cand, 2), jnp.float32)
+    pred_c = point_sample(src.transpose(0, 2, 3, 1), cand)  # (B, n_cand, G)
+    tgt_c = point_sample(tgt.transpose(0, 2, 3, 1), cand)
+
+    # per-mask importance selection (most uncertain = smallest |logit|)
+    unc = -jnp.abs(jax.lax.stop_gradient(pred_c)).transpose(0, 2, 1)  # (B,G,n_cand)
+    _, sel = jax.lax.top_k(unc.reshape(B * G, n_cand), n_imp)
+    sel = jax.lax.stop_gradient(sel)
+
+    def pick(v):  # (B, n_cand, G) -> (B*G, n_imp)
+        v2 = v.transpose(0, 2, 1).reshape(B * G, n_cand)
+        return jnp.take_along_axis(v2, sel, axis=1)
+
+    pred_imp, tgt_imp = pick(pred_c), pick(tgt_c)
+
+    if n_rand > 0:
+        randc = jax.random.uniform(r2, (B, n_rand, 2), jnp.float32)
+        pred_r = point_sample(src.transpose(0, 2, 3, 1), randc)
+        tgt_r = point_sample(tgt.transpose(0, 2, 3, 1), randc)
+        pred_r = pred_r.transpose(0, 2, 1).reshape(B * G, n_rand)
+        tgt_r = tgt_r.transpose(0, 2, 1).reshape(B * G, n_rand)
+        point_logits = jnp.concatenate([pred_imp, pred_r], axis=1)
+        point_labels = jnp.concatenate([tgt_imp, tgt_r], axis=1)
+    else:
+        point_logits, point_labels = pred_imp, tgt_imp
+    point_labels = jax.lax.stop_gradient(point_labels)
 
     # sigmoid CE, mean over points, sum over valid masks / num_masks
     ce = jnp.maximum(point_logits, 0) - point_logits * point_labels + jax.nn.softplus(

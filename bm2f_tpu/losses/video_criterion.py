@@ -65,22 +65,57 @@ def video_matcher_costs(
 def _video_loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment,
                       num_masks, cfg):
     """pred (B,Q,T,h,w), tgt (B,G,T,Hg,Wg): per-frame point-sampled losses
-    summed over (instance, frame), / num_masks (instances)."""
+    summed over (instance, frame), / num_masks (instances). Candidate/random
+    points are shared per (image, frame) — wide G-channel gathers (see
+    criterion._loss_masks for the rationale)."""
+    from bm2f_tpu.ops import point_sample
+
     B, Q, T, h, w = pred_masks.shape
     G = tgt_valid.shape[1]
     src = jnp.take_along_axis(
         pred_masks, assignment[:, :, None, None, None], axis=1
     )  # (B,G,T,h,w)
-    src = src.reshape(B * G * T, h, w).astype(jnp.float32)
-    tgt = tgt_masks.reshape(B * G * T, *tgt_masks.shape[3:]).astype(jnp.float32)
+    src = src.astype(jnp.float32)
+    tgt = tgt_masks.astype(jnp.float32)
     valid = jnp.repeat(tgt_valid.reshape(B * G), T).astype(jnp.float32)
+    BT = B * T
 
-    coords = get_uncertain_point_coords_with_randomness(
-        rng, jax.lax.stop_gradient(src), cfg.num_points,
-        cfg.oversample_ratio, cfg.importance_sample_ratio,
+    n_imp = int(cfg.importance_sample_ratio * cfg.num_points)
+    n_rand = cfg.num_points - n_imp
+    n_cand = int(cfg.num_points * cfg.oversample_ratio)
+    r1, r2 = jax.random.split(rng)
+
+    # (B,G,T,h,w) -> (B*T, h, w, G)
+    src_bt = src.transpose(0, 2, 3, 4, 1).reshape(BT, h, w, G)
+    tgt_bt = tgt.transpose(0, 2, 3, 4, 1).reshape(
+        BT, *tgt_masks.shape[3:], G
     )
-    point_logits = sample_mask_points(src, coords)
-    point_labels = jax.lax.stop_gradient(sample_mask_points(tgt, coords))
+
+    cand = jax.random.uniform(r1, (BT, n_cand, 2), jnp.float32)
+    pred_c = point_sample(src_bt, cand)  # (BT, n_cand, G)
+    tgt_c = point_sample(tgt_bt, cand)
+
+    unc = -jnp.abs(jax.lax.stop_gradient(pred_c)).transpose(0, 2, 1)
+    _, sel = jax.lax.top_k(unc.reshape(BT * G, n_cand), n_imp)
+    sel = jax.lax.stop_gradient(sel)
+
+    def pick(v):
+        return jnp.take_along_axis(
+            v.transpose(0, 2, 1).reshape(BT * G, n_cand), sel, axis=1
+        )
+
+    pred_imp, tgt_imp = pick(pred_c), pick(tgt_c)
+    if n_rand > 0:
+        randc = jax.random.uniform(r2, (BT, n_rand, 2), jnp.float32)
+        pred_r = point_sample(src_bt, randc).transpose(0, 2, 1).reshape(BT * G, n_rand)
+        tgt_r = point_sample(tgt_bt, randc).transpose(0, 2, 1).reshape(BT * G, n_rand)
+        point_logits = jnp.concatenate([pred_imp, pred_r], axis=1)
+        point_labels = jnp.concatenate([tgt_imp, tgt_r], axis=1)
+    else:
+        point_logits, point_labels = pred_imp, tgt_imp
+    point_labels = jax.lax.stop_gradient(point_labels)
+    # (BT*G) rows are ordered (b, t, g); valid is ordered (b, g, t) — reorder
+    valid = tgt_valid[:, None, :].repeat(T, 1).reshape(BT * G).astype(jnp.float32)
 
     ce = (
         jnp.maximum(point_logits, 0)

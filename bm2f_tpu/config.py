@@ -330,6 +330,7 @@ def ade20k_semantic_r50() -> Config:
             "input.image_size": 512,
             "input.dataset_mapper": "mask_former_semantic",
             "train.optimizer.max_iter": 160000,
+            "train.optimizer.steps": (144000, 152000),
         },
     )
 

@@ -173,3 +173,20 @@ def color_aug_ssd(rng: np.random.RandomState, img: np.ndarray) -> np.ndarray:
         hsv[..., 0] = (hsv[..., 0] + rng.uniform(-18, 18)) % 256
     out = _I.fromarray(hsv.astype(np.uint8), mode="HSV").convert("RGB")
     return np.asarray(out)
+
+
+def resize_bilinear_np(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Host-side bilinear resize with torch align_corners=False semantics
+    (same index math as bm2f_tpu.ops.resize_bilinear) for eval-time
+    per-image original-size restoration — on device every distinct output
+    size would trigger a fresh XLA compile. x: (..., H, W)."""
+    from bm2f_tpu.ops.interpolate import _bilinear_index_weights
+
+    h, w = x.shape[-2], x.shape[-1]
+    if h != out_h:
+        i0, i1, w0, w1 = _bilinear_index_weights(h, out_h)
+        x = x[..., i0, :] * w0[:, None] + x[..., i1, :] * w1[:, None]
+    if w != out_w:
+        i0, i1, w0, w1 = _bilinear_index_weights(w, out_w)
+        x = x[..., i0] * w0 + x[..., i1] * w1
+    return x

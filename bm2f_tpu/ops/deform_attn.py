@@ -265,16 +265,10 @@ def _ms_deform_attn_im2col(value, spatial_shapes, sampling_locations, attention_
     ) * S
     flat = (idx + bm).transpose(0, 2, 1, 3, 4).reshape(-1)
 
-    rows = jnp.take(patches, flat, axis=0)  # (B*M*Q*K, 4D) — lane-aligned
-    rows = rows.reshape(B, M, Q, K, 4 * D)
+    rows = jnp.take(patches, flat, axis=0)  # (B*M*Q*K, 4D)
+    rows = rows.reshape(B, M, Q, K, 4, D)
     w = w.transpose(0, 2, 1, 3, 4, 5).reshape(B, M, Q, K, 4)
-    # keep the reduction on the 128-wide (lane-aligned) layout: a
-    # (..., 4, D=32) view would be padded 4x to the 128-lane tile by XLA
-    # (measured as multi-GB "extra memory due to padding" buffers)
-    w128 = jnp.repeat(w, D, axis=-1)  # (B,M,Q,K,4D), blocks of D per corner
-    prod = (rows * w128).reshape(B, M, Q, K * 4, D)
-    out = jnp.sum(prod, axis=3)  # (B, M, Q, D)
-    out = out.transpose(0, 2, 1, 3)
+    out = jnp.einsum("bmqkc,bmqkcd->bqmd", w, rows)
     return out.reshape(B, Q, M * D).astype(dtype)
 
 

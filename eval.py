@@ -42,14 +42,22 @@ def run_eval(cfg, model, variables, dataset_name: str, max_images: int = 0):
         for i in range(logits.shape[0]):
             nh, nw = batch["resized_hw"][i]
             oh, ow = batch["orig_hw"][i]
-            # upsample mask logits to the padded input, crop, resize to orig
-            m = resize_bilinear(
-                masks[i].transpose(1, 2, 0),
-                batch["images"].shape[1], batch["images"].shape[2],
-            ).transpose(2, 0, 1)
-            m = sem_seg_postprocess(m, m.shape[1:], (nh, nw), (oh, ow))
+            # upsample mask logits to the padded input size ON DEVICE (static
+            # shape, one compile), then crop + restore the original size on
+            # the HOST (a device resize would recompile per distinct image
+            # size — reference does the same work per image on GPU)
+            m = np.asarray(
+                resize_bilinear(
+                    masks[i].transpose(1, 2, 0),
+                    batch["images"].shape[1], batch["images"].shape[2],
+                ).transpose(2, 0, 1)
+            )
+            from bm2f_tpu.data.transforms import resize_bilinear_np
+
+            m = resize_bilinear_np(m[:, :nh, :nw], oh, ow)
             inst = instance_inference(
-                logits[i], m, num_classes=num_classes, topk=100
+                jnp.asarray(logits[i]), jnp.asarray(m),
+                num_classes=num_classes, topk=100
             )
             dd = dicts[int(batch["image_id"][i])]
             gt_masks = [

@@ -133,7 +133,7 @@ def instance_inference(
     Q = mask_cls.shape[0]
     scores_all = jax.nn.softmax(mask_cls, axis=-1)[:, :-1]  # (Q, K)
     flat = scores_all.reshape(-1)
-    scores, idx = jax.lax.top_k(flat, topk)
+    scores, idx = jax.lax.top_k(flat, min(topk, flat.shape[0]))
     labels = idx % num_classes
     qidx = idx // num_classes
     masks_logits = mask_pred[qidx]  # (topk, H, W)
@@ -154,6 +154,27 @@ def instance_inference(
         "masks": masks,
         "valid": valid,
     }
+
+
+def instance_topk_select(
+    mask_cls: jnp.ndarray,
+    mask_pred: jnp.ndarray,
+    *,
+    num_classes: int,
+    topk: int = 100,
+):
+    """Static-shape top-k selection only (classification scores + selected
+    mask LOGITS at prediction resolution). The resolution-dependent part of
+    instance inference — upsampling to the original image size, binarizing
+    at 0, and mask-probability rescoring (reference :621) — runs on the host
+    in eval (see eval.py), avoiding one XLA compile per distinct image size.
+    """
+    scores_all = jax.nn.softmax(mask_cls, axis=-1)[:, :-1]
+    flat = scores_all.reshape(-1)
+    scores, idx = jax.lax.top_k(flat, min(topk, flat.shape[0]))
+    labels = idx % num_classes
+    qidx = idx // num_classes
+    return scores, labels, mask_pred[qidx]
 
 
 def panoptic_inference(

@@ -9,7 +9,8 @@ import argparse
 from functools import partial
 
 
-def run_eval(cfg, model, variables, dataset_name: str, max_images: int = 0):
+def run_eval(cfg, model, variables, dataset_name: str, max_images: int = 0,
+             short_edge: int = 800, max_size: int = 1333, bucket: int = 1344):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -18,47 +19,56 @@ def run_eval(cfg, model, variables, dataset_name: str, max_images: int = 0):
     from bm2f_tpu.data.mappers import EvalMapper, read_image
     from bm2f_tpu.data.mask_ops import segmentation_to_mask
     from bm2f_tpu.evaluation.coco_eval import COCOMaskAPEvaluator
+    from bm2f_tpu.data.transforms import resize_bilinear_np
     from bm2f_tpu.models.maskformer import (
-        instance_inference, normalize_images, sem_seg_postprocess,
+        instance_topk_select, normalize_images,
     )
     from bm2f_tpu.ops import resize_bilinear
 
     meta = MetadataCatalog.get(dataset_name)
     num_classes = cfg.model.num_classes
-    mapper = EvalMapper()
+    mapper = EvalMapper(short_edge=short_edge, max_size=max_size, bucket=bucket)
     loader = build_test_loader(dataset_name, mapper, batch_size=1)
 
     @jax.jit
     def predict(images):
         out = model.apply(variables, normalize_images(images, cfg.model))
-        return out["pred_logits"], out["pred_masks"]
+        # device side: upsample to the (static) padded input size + top-k
+        masks_full = jax.vmap(
+            lambda m: resize_bilinear(m.transpose(1, 2, 0), images.shape[1],
+                                      images.shape[2]).transpose(2, 0, 1)
+        )(out["pred_masks"])
+        scores, labels, sel_masks = jax.vmap(
+            lambda c, m: instance_topk_select(c, m, num_classes=num_classes, topk=100)
+        )(out["pred_logits"], masks_full)
+        return scores, labels, sel_masks
 
     evaluator = COCOMaskAPEvaluator(num_classes)
     dicts = {d["image_id"]: d for d in DatasetCatalog.get(dataset_name)}
 
     n = 0
     for batch in loader:
-        logits, masks = predict(jnp.asarray(batch["images"]))
-        for i in range(logits.shape[0]):
+        scores_b, labels_b, selmasks_b = jax.tree.map(
+            np.asarray, predict(jnp.asarray(batch["images"]))
+        )
+        for i in range(scores_b.shape[0]):
             nh, nw = batch["resized_hw"][i]
             oh, ow = batch["orig_hw"][i]
-            # upsample mask logits to the padded input size ON DEVICE (static
-            # shape, one compile), then crop + restore the original size on
-            # the HOST (a device resize would recompile per distinct image
-            # size — reference does the same work per image on GPU)
-            m = np.asarray(
-                resize_bilinear(
-                    masks[i].transpose(1, 2, 0),
-                    batch["images"].shape[1], batch["images"].shape[2],
-                ).transpose(2, 0, 1)
+            # host side: crop padding, restore original size, binarize at 0,
+            # mask-probability rescoring (reference :621)
+            m = resize_bilinear_np(selmasks_b[i][:, :nh, :nw], oh, ow)
+            binary = m > 0
+            prob = 1.0 / (1.0 + np.exp(-m))
+            area = binary.reshape(len(binary), -1).sum(-1)
+            mask_scores = (prob * binary).reshape(len(binary), -1).sum(-1) / (
+                area + 1e-6
             )
-            from bm2f_tpu.data.transforms import resize_bilinear_np
-
-            m = resize_bilinear_np(m[:, :nh, :nw], oh, ow)
-            inst = instance_inference(
-                jnp.asarray(logits[i]), jnp.asarray(m),
-                num_classes=num_classes, topk=100
-            )
+            inst = {
+                "scores": scores_b[i] * mask_scores,
+                "labels": labels_b[i],
+                "masks": binary,
+                "valid": np.ones(len(binary), bool),
+            }
             dd = dicts[int(batch["image_id"][i])]
             gt_masks = [
                 segmentation_to_mask(a["segmentation"], oh, ow)

@@ -201,3 +201,58 @@ def test_msdeform_module_matches_torch(rng):
         jnp.asarray(src), shapes,
     )
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=RTOL, atol=ATOL)
+
+
+def test_loss_labels_matches_torch_cross_entropy(rng):
+    """Weighted CE with eos down-weighting (reference: criterion.py:809-826
+    F.cross_entropy(..., empty_weight) with empty_weight[-1]=0.1)."""
+    from bm2f_tpu.losses.criterion import SetCriterionConfig, _loss_labels
+
+    B, Q, K, G = 2, 7, 4, 3
+    logits = rng.randn(B, Q, K + 1).astype(np.float32)
+    labels = rng.randint(0, K, (B, G)).astype(np.int32)
+    valid = np.ones((B, G), bool)
+    valid[1, 2] = False
+    assign = np.stack([rng.permutation(Q)[:G] for _ in range(B)]).astype(np.int32)
+
+    cfg = SetCriterionConfig(num_classes=K, eos_coef=0.1)
+    ours = float(_loss_labels(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(valid),
+        jnp.asarray(assign), cfg,
+    ))
+
+    target_classes = torch.full((B, Q), K, dtype=torch.long)
+    for b in range(B):
+        for g in range(G):
+            if valid[b, g]:
+                target_classes[b, assign[b, g]] = int(labels[b, g])
+    empty_weight = torch.ones(K + 1)
+    empty_weight[-1] = 0.1
+    ref = F.cross_entropy(
+        torch.from_numpy(logits).transpose(1, 2), target_classes, empty_weight
+    )
+    np.testing.assert_allclose(ours, float(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_point_loss_formulas_match_reference(rng):
+    """sigmoid_ce_loss / dice_loss at fixed sampled points (reference:
+    criterion.py:80-131): mean over points, sum over masks, / num_masks."""
+    N, P = 6, 64
+    logits = rng.randn(N, P).astype(np.float32)
+    labels = (rng.rand(N, P) > 0.5).astype(np.float32)
+    num_masks = 4.0
+
+    tl, tt = torch.from_numpy(logits), torch.from_numpy(labels)
+    ce_ref = F.binary_cross_entropy_with_logits(tl, tt, reduction="none").mean(1).sum() / num_masks
+    p = tl.sigmoid()
+    dice_ref = (1 - (2 * (p * tt).sum(-1) + 1) / (p.sum(-1) + tt.sum(-1) + 1)).sum() / num_masks
+
+    x, t = jnp.asarray(logits), jnp.asarray(labels)
+    ce = jnp.maximum(x, 0) - x * t + jax.nn.softplus(-jnp.abs(x))
+    ce_ours = float(jnp.sum(ce.mean(-1)) / num_masks)
+    sp = jax.nn.sigmoid(x)
+    dice_ours = float(jnp.sum(
+        1 - (2 * jnp.sum(sp * t, -1) + 1) / (jnp.sum(sp, -1) + jnp.sum(t, -1) + 1)
+    ) / num_masks)
+    np.testing.assert_allclose(ce_ours, float(ce_ref), rtol=1e-5)
+    np.testing.assert_allclose(dice_ours, float(dice_ref), rtol=1e-5)

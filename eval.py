@@ -102,11 +102,13 @@ def main():
     import jax.numpy as jnp
 
     from bm2f_tpu.config import get_config
+    from bm2f_tpu.data.cityscapes import register_all_cityscapes
     from bm2f_tpu.data.datasets import register_all_builtin_datasets
     from bm2f_tpu.models import build_model
     from bm2f_tpu.models.maskformer import normalize_images
 
     register_all_builtin_datasets()
+    register_all_cityscapes()
     cfg = get_config(args.config)
     model = build_model(cfg)
     dummy = jnp.zeros((1, 64, 64, 3))

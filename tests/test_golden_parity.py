@@ -256,3 +256,62 @@ def test_point_loss_formulas_match_reference(rng):
     ) / num_masks)
     np.testing.assert_allclose(ce_ours, float(ce_ref), rtol=1e-5)
     np.testing.assert_allclose(dice_ours, float(dice_ref), rtol=1e-5)
+
+
+def test_swin_block_matches_torch(rng):
+    """SwinBlock (no shift) vs a from-scratch torch implementation of the
+    standard Swin transformer block (reference: swin.py:174-298 semantics:
+    LN -> window attention with relative position bias -> residual ->
+    LN -> MLP(GELU) -> residual)."""
+    import math
+
+    from bm2f_tpu.models.swin import SwinBlock, _relative_position_index
+
+    C, H, W, heads, win = 32, 14, 14, 4, 7
+    x = rng.randn(1, H, W, C).astype(np.float32)
+
+    blk = SwinBlock(dim=C, num_heads=heads, window=win, shift=0,
+                    mlp_ratio=2.0, qkv_bias=True, qk_scale=None, drop_path=0.0)
+    variables = blk.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = variables["params"]
+
+    tx = torch.from_numpy(x)
+
+    def ln(v, name):
+        return F.layer_norm(
+            v, (C,), torch.from_numpy(np.asarray(p[name]["scale"])),
+            torch.from_numpy(np.asarray(p[name]["bias"])), eps=1e-5,
+        )
+
+    def lin(v, name, sub):
+        wgt = torch.from_numpy(np.asarray(p[name][sub]["kernel"])).T
+        b = p[name][sub].get("bias")
+        return F.linear(v, wgt, torch.from_numpy(np.asarray(b)) if b is not None else None)
+
+    # window attention (H, W divisible by win; no shift -> no mask)
+    v = ln(tx, "norm1")
+    nwh, nww = H // win, W // win
+    vw = v.view(1, nwh, win, nww, win, C).permute(0, 1, 3, 2, 4, 5)
+    vw = vw.reshape(nwh * nww, win * win, C)
+    qkv = lin(vw, "attn", "qkv").reshape(-1, win * win, 3, heads, C // heads)
+    q, k, val = qkv.permute(2, 0, 3, 1, 4)
+    attn = (q * (C // heads) ** -0.5) @ k.transpose(-2, -1)
+    bias_table = torch.from_numpy(np.asarray(p["attn"]["relative_position_bias_table"]))
+    idx = torch.from_numpy(_relative_position_index(win).reshape(-1))
+    rel = bias_table[idx].reshape(win * win, win * win, heads).permute(2, 0, 1)
+    attn = F.softmax(attn + rel[None], dim=-1)
+    out = (attn @ val).transpose(1, 2).reshape(-1, win * win, C)
+    out = lin(out, "attn", "proj")
+    out = out.reshape(1, nwh, nww, win, win, C).permute(0, 1, 3, 2, 4, 5).reshape(1, H, W, C)
+    tref = tx + out
+    m = ln(tref, "norm2")
+    m = F.linear(m, torch.from_numpy(np.asarray(p["mlp_fc1"]["kernel"])).T,
+                 torch.from_numpy(np.asarray(p["mlp_fc1"]["bias"])))
+    m = F.gelu(m)
+    m = F.linear(m, torch.from_numpy(np.asarray(p["mlp_fc2"]["kernel"])).T,
+                 torch.from_numpy(np.asarray(p["mlp_fc2"]["bias"])))
+    tref = tref + m
+
+    ours = blk.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), tref.detach().numpy(),
+                               rtol=5e-4, atol=5e-4)

@@ -47,6 +47,7 @@ def main():
 
     from bm2f_tpu.config import get_config, update
     from bm2f_tpu.data import build_train_loader
+    from bm2f_tpu.data.cityscapes import register_all_cityscapes
     from bm2f_tpu.data.datasets import register_all_builtin_datasets
     from bm2f_tpu.data.mappers import MAPPERS
     from bm2f_tpu.data.ytvis import register_all_ytvis
@@ -61,6 +62,7 @@ def main():
     if args.max_iter:
         cfg = update(cfg, {"train.optimizer.max_iter": args.max_iter})
     register_all_builtin_datasets()
+    register_all_cityscapes()
     register_all_ytvis()
 
     trainer = Trainer(cfg)

@@ -308,13 +308,22 @@ class EvalMapper:
         }
 
 
-MAPPERS = {
+class _LazyMappers(dict):
+    """Video mappers resolve lazily to avoid a circular import with
+    bm2f_tpu.data.ytvis (which itself imports this module)."""
+
+    def __missing__(self, key):
+        self.update(_video_mappers())
+        return dict.__getitem__(self, key)
+
+
+MAPPERS = _LazyMappers({
     "coco_instance_lsj": COCOInstanceLSJMapper,
     "coco_panoptic_lsj": COCOPanopticLSJMapper,
     "mask_former_semantic": MaskFormerSemanticMapper,
     "mask_former_panoptic": MaskFormerPanopticMapper,
     "mask_former_instance": MaskFormerInstanceMapper,
-}
+})
 
 
 def _video_mappers():
@@ -328,5 +337,3 @@ def _video_mappers():
         "coco_clip": CocoClipDatasetMapper,
     }
 
-
-MAPPERS.update(_video_mappers())

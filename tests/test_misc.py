@@ -260,3 +260,51 @@ def test_convert_checkpoint_structure_matches_model():
         for p, _ in jax.tree_util.tree_flatten_with_path(converted["frozen"])[0]
     }
     assert ref_frozen == got_frozen
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    """Resume-from-checkpoint must continue identically to an uninterrupted
+    run (reference: DetectionCheckpointer resume semantics)."""
+    import jax.numpy as jnp
+
+    from bm2f_tpu.config import get_config
+    from bm2f_tpu.parallel.mesh import shard_batch
+    from bm2f_tpu.train.checkpoint import Checkpointer
+    from bm2f_tpu.train.trainer import Trainer
+
+    cfg = get_config("coco_instance_r50", {
+        "model.decoder.dec_layers": 1,
+        "model.decoder.num_queries": 8,
+        "model.pixel_decoder.transformer_enc_layers": 0,
+        "model.loss.train_num_points": 64,
+        "mesh.data": 1,
+        "model.backbone.resnet.depth": 50,
+    })
+    trainer = Trainer(cfg)
+    rng = np.random.RandomState(0)
+    B, H, W, G = 1, 64, 64, 2
+    batch = {
+        "images": jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255),
+        "labels": jnp.asarray(rng.randint(0, 80, (B, G)).astype(np.int32)),
+        "masks": jnp.asarray((rng.rand(B, G, H, W) > 0.7).astype(np.float32)),
+        "valid": jnp.asarray(np.ones((B, G), bool)),
+    }
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["images"])
+    step = trainer.compile_step(state)
+    state = trainer.shard_state(state)
+    ck = Checkpointer(str(tmp_path / "ck"))
+    with trainer.mesh:
+        sb = shard_batch(batch, trainer.mesh)
+        state, _ = step(state, sb)
+        ck.save(int(state.step), state)
+        # uninterrupted continuation
+        cont, m_direct = step(state, sb)
+        # resume path
+        restored = ck.resume_or_load(jax.tree.map(jnp.zeros_like, state), resume=True)
+        restored = trainer.shard_state(restored)
+        resumed, m_resumed = step(restored, sb)
+    # both continuations sit at step 2 with identical loss
+    assert int(resumed.step) == 2
+    np.testing.assert_allclose(
+        float(m_direct["total_loss"]), float(m_resumed["total_loss"]), rtol=1e-5
+    )

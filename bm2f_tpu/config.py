@@ -77,6 +77,10 @@ class PixelDecoderConfig:
     transformer_n_points: int = 4
     common_stride: int = 4
     dropout: float = 0.0
+    # chunk the deformable-sampling gather over queries (1 = off): divides
+    # the layer's dominant transient (the gathered-rows tensor) for training
+    # memory headroom at large resolutions
+    deform_q_chunks: int = 1
     # rematerialize encoder layers in backward — the deformable sampling's
     # gathered-row intermediates are ~2 GB/layer at 1024^2 and must not be
     # saved as residuals (jax.checkpoint; analogue of the reference's

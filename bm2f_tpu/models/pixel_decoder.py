@@ -58,6 +58,7 @@ class MSDeformAttnModule(nn.Module):
     n_points: int
     dtype: Any = jnp.float32
     impl: str = "im2col"
+    q_chunks: int = 1
 
     @nn.compact
     def __call__(self, query, reference_points, value_src, spatial_shapes):
@@ -103,7 +104,8 @@ class MSDeformAttnModule(nn.Module):
             + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
         )
 
-        out = ms_deform_attn(value, spatial_shapes, loc, attn, impl=self.impl)
+        out = ms_deform_attn(value, spatial_shapes, loc, attn, impl=self.impl,
+                             q_chunks=self.q_chunks)
         out = nn.Dense(
             C, kernel_init=xavier_uniform, bias_init=nn.initializers.zeros,
             dtype=self.dtype, name="output_proj",
@@ -121,12 +123,14 @@ class DeformableEncoderLayer(nn.Module):
     n_points: int
     dtype: Any = jnp.float32
     impl: str = "im2col"
+    q_chunks: int = 1
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes):
         attn_out = MSDeformAttnModule(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, impl=self.impl, name="self_attn",
+            dtype=self.dtype, impl=self.impl, q_chunks=self.q_chunks,
+            name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes)
         src = src + attn_out
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
@@ -219,6 +223,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 n_points=cfg.transformer_n_points,
                 dtype=self.dtype,
                 impl=self.deform_impl,
+                q_chunks=cfg.deform_q_chunks,
                 name=f"encoder_layer_{li}",
             )(src, pos, ref_points, shapes)
 

@@ -183,7 +183,8 @@ def _ms_deform_attn_patch(value, spatial_shapes, sampling_locations, attention_w
     return out.transpose(0, 2, 1, 3).reshape(B, Q, M * D).astype(dtype)
 
 
-def _ms_deform_attn_im2col(value, spatial_shapes, sampling_locations, attention_weights):
+def _ms_deform_attn_im2col(value, spatial_shapes, sampling_locations,
+                           attention_weights, q_chunks: int = 1):
     """im2col formulation — the fast TPU path (~4x the row-gather variants
     on v5e, where XLA gather cost is per-descriptor and row width is free up
     to 128 floats):
@@ -265,10 +266,25 @@ def _ms_deform_attn_im2col(value, spatial_shapes, sampling_locations, attention_
     ) * S
     flat = (idx + bm).transpose(0, 2, 1, 3, 4).reshape(-1)
 
-    rows = jnp.take(patches, flat, axis=0)  # (B*M*Q*K, 4D)
-    rows = rows.reshape(B, M, Q, K, 4, D)
     w = w.transpose(0, 2, 1, 3, 4, 5).reshape(B, M, Q, K, 4)
-    out = jnp.einsum("bmqkc,bmqkcd->bqmd", w, rows)
+    flat = flat.reshape(B, M, Q, K)
+
+    # Optional chunking over Q: the gathered-rows tensor is the layer's
+    # dominant transient (~2 GB at 1024^2 B=4); processing Q in chunks keeps
+    # peak memory ~1/q_chunks with negligible overhead.
+    if q_chunks > 1 and Q % q_chunks == 0:
+        qc = Q // q_chunks
+        outs = []
+        for c in range(q_chunks):
+            sl = slice(c * qc, (c + 1) * qc)
+            rows = jnp.take(patches, flat[:, :, sl].reshape(-1), axis=0)
+            rows = rows.reshape(B, M, qc, K, 4, D)
+            outs.append(jnp.einsum("bmqkc,bmqkcd->bqmd", w[:, :, sl], rows))
+        out = jnp.concatenate(outs, axis=1)
+    else:
+        rows = jnp.take(patches, flat.reshape(-1), axis=0)
+        rows = rows.reshape(B, M, Q, K, 4, D)
+        out = jnp.einsum("bmqkc,bmqkcd->bqmd", w, rows)
     return out.reshape(B, Q, M * D).astype(dtype)
 
 
@@ -279,6 +295,7 @@ def ms_deform_attn(
     attention_weights: jnp.ndarray,
     *,
     impl: str = "im2col",
+    q_chunks: int = 1,
 ) -> jnp.ndarray:
     """Multi-scale deformable attention core (see module docstring)."""
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
@@ -298,7 +315,8 @@ def ms_deform_attn(
         )
     elif impl == "im2col":
         return _ms_deform_attn_im2col(
-            value, spatial_shapes, sampling_locations, attention_weights
+            value, spatial_shapes, sampling_locations, attention_weights,
+            q_chunks=q_chunks,
         )
     elif impl == "pallas":
         from bm2f_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas

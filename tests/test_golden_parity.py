@@ -315,3 +315,49 @@ def test_swin_block_matches_torch(rng):
     ours = blk.apply(variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(ours), tref.detach().numpy(),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_cross_attention_layer_matches_torch(rng):
+    """Post-norm CrossAttentionLayer (reference:
+    mask2former_transformer_decoder.py:75-135): attn(q+qpos, k+pos, v) ->
+    residual -> LayerNorm, with a boolean attention mask."""
+    from bm2f_tpu.models.transformer_decoder import CrossAttentionLayer
+
+    B, Q, N, C, H = 2, 6, 20, 32, 4
+    tgt = rng.randn(B, Q, C).astype(np.float32)
+    mem = rng.randn(B, N, C).astype(np.float32)
+    pos = rng.randn(1, N, C).astype(np.float32)
+    qpos = rng.randn(B, Q, C).astype(np.float32)
+    blocked = rng.rand(B, H, Q, N) > 0.7
+    blocked[..., 0] = False
+
+    layer = CrossAttentionLayer(C, H, pre_norm=False)
+    bias = jnp.where(jnp.asarray(blocked), -1e9, 0.0)
+    variables = layer.init(
+        jax.random.PRNGKey(0), jnp.asarray(tgt), jnp.asarray(mem), bias,
+        jnp.asarray(pos), jnp.asarray(qpos),
+    )
+    ours = layer.apply(
+        variables, jnp.asarray(tgt), jnp.asarray(mem), bias,
+        jnp.asarray(pos), jnp.asarray(qpos),
+    )
+
+    p = variables["params"]
+    tm = nn.MultiheadAttention(C, H, batch_first=True)
+    with torch.no_grad():
+        tm.in_proj_weight.copy_(torch.from_numpy(np.asarray(p["multihead_attn"]["in_proj_weight"])).T)
+        tm.in_proj_bias.copy_(torch.from_numpy(np.asarray(p["multihead_attn"]["in_proj_bias"])))
+        tm.out_proj.weight.copy_(torch.from_numpy(np.asarray(p["multihead_attn"]["out_proj"]["kernel"])).T)
+        tm.out_proj.bias.copy_(torch.from_numpy(np.asarray(p["multihead_attn"]["out_proj"]["bias"])))
+        t2, _ = tm(
+            torch.from_numpy(tgt + qpos),
+            torch.from_numpy(mem + pos),
+            torch.from_numpy(mem),
+            attn_mask=torch.from_numpy(blocked.reshape(B * H, Q, N)),
+        )
+        ref = F.layer_norm(
+            torch.from_numpy(tgt) + t2, (C,),
+            torch.from_numpy(np.asarray(p["norm"]["scale"])),
+            torch.from_numpy(np.asarray(p["norm"]["bias"])), eps=1e-5,
+        )
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=5e-4, atol=5e-4)

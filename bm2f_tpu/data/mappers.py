@@ -14,7 +14,7 @@ validity mask — so the jitted train step never recompiles.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
@@ -281,10 +281,16 @@ class EvalMapper:
     sem_seg_postprocess."""
 
     def __init__(self, short_edge: int = 800, max_size: int = 1333,
-                 bucket: int = 1344):
+                 bucket: int = 1344,
+                 pad_value: Tuple[float, ...] = (123.675, 116.28, 103.53)):
         self.short_edge = short_edge
         self.max_size = max_size
         self.bucket = bucket
+        # The reference pads the NORMALIZED tensor with zeros (= mean pixel in
+        # raw space, detectron2 ImageList semantics); padding raw pixels with 0
+        # would be ~-2 sigma after normalization and shifts border conv
+        # activations (ADVICE round 1).
+        self.pad_value = np.asarray(pad_value, np.float32)
 
     def __call__(self, dd: Dict) -> Dict:
         img = dd.get("image")
@@ -299,7 +305,9 @@ class EvalMapper:
 
         image = resize_image(img, nh, nw).astype(np.float32)
         B = self.bucket
-        image = np.pad(image, ((0, B - nh), (0, B - nw), (0, 0)))
+        full = np.broadcast_to(self.pad_value, (B, B, 3)).copy()
+        full[:nh, :nw] = image
+        image = full
         return {
             "images": image,
             "image_id": dd.get("image_id", -1),

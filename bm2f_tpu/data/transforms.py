@@ -47,41 +47,38 @@ class GeomTransform:
 
     def apply_image(self, img: np.ndarray, pad_value: float = 128.0) -> np.ndarray:
         img = resize_image(img, *self.resize_hw)
-        img = self._crop_pad(img, pad_value)
-        if self.flip:
-            img = img[:, ::-1]
-        return img
+        return self._crop_flip_pad(img, pad_value)
 
     def apply_mask(self, mask: np.ndarray) -> np.ndarray:
         mask = resize_mask(mask, *self.resize_hw)
-        mask = self._crop_pad(mask, 0)
-        if self.flip:
-            mask = mask[:, ::-1]
-        return mask
+        return self._crop_flip_pad(mask, 0)
 
     def apply_segmap(self, seg: np.ndarray, ignore_value: int = 255) -> np.ndarray:
         seg = resize_mask(seg, *self.resize_hw)
-        seg = self._crop_pad(seg, ignore_value)
-        if self.flip:
-            seg = seg[:, ::-1]
-        return seg
+        return self._crop_flip_pad(seg, ignore_value)
 
-    def _crop_pad(self, x: np.ndarray, pad_value) -> np.ndarray:
+    def _crop_flip_pad(self, x: np.ndarray, pad_value) -> np.ndarray:
+        """crop -> flip -> pad. Padding is applied AFTER the flip so it always
+        lands bottom/right in the final orientation, matching the reference
+        (LSJ: RandomFlip precedes FixedSizeCrop; semantic mappers: flip
+        precedes the pad-to-divisibility)."""
         if self.crop_hw is not None:
             y0, x0 = self.crop_yx
             ch, cw = self.crop_hw
             x = x[y0 : y0 + ch, x0 : x0 + cw]
-            if x.shape[0] < ch or x.shape[1] < cw:
-                pads = [(0, ch - x.shape[0]), (0, cw - x.shape[1])]
+        if self.flip:
+            x = x[:, ::-1]
+        targets = []
+        if self.crop_hw is not None:
+            targets.append(self.crop_hw)
+        if self.pad_hw is not None:
+            targets.append(self.pad_hw)
+        for ph, pw in targets:
+            if x.shape[0] < ph or x.shape[1] < pw:
+                pads = [(0, max(0, ph - x.shape[0])), (0, max(0, pw - x.shape[1]))]
                 if x.ndim == 3:
                     pads.append((0, 0))
                 x = np.pad(x, pads, constant_values=pad_value)
-        if self.pad_hw is not None:
-            ph, pw = self.pad_hw
-            pads = [(0, max(0, ph - x.shape[0])), (0, max(0, pw - x.shape[1]))]
-            if x.ndim == 3:
-                pads.append((0, 0))
-            x = np.pad(x, pads, constant_values=pad_value)
         return x
 
 

@@ -158,9 +158,32 @@ def auction_assign(costs: jnp.ndarray, num_iters: int = 200) -> jnp.ndarray:
     owner0 = jnp.full((B, G), -1, jnp.int32)
     (price, owner), _ = jax.lax.scan(body, (price0, owner0), None, length=num_iters)
 
-    # greedy fill for any stragglers
-    fallback = jnp.argmin(costs, axis=1).astype(jnp.int32)
-    return jnp.where(owner < 0, fallback, owner)
+    # Collision-free greedy fill for any stragglers: sequential over columns,
+    # each unassigned column takes its cheapest row NOT already owned — a
+    # shared-argmin fallback could hand one row to several columns, breaking
+    # the one-to-one contract the criterion's scatter relies on.
+    taken = jnp.any(
+        jax.nn.one_hot(jnp.maximum(owner, 0), Q, dtype=bool)
+        & (owner >= 0)[..., None],
+        axis=1,
+    )  # (B, Q)
+
+    def fill(carry, col):
+        owner, taken = carry
+        cost_col, g = col  # (B, Q), scalar
+        need = owner[:, g] < 0  # (B,)
+        masked = jnp.where(taken, jnp.inf, cost_col)
+        row = jnp.argmin(masked, axis=1).astype(jnp.int32)  # (B,)
+        owner = owner.at[:, g].set(jnp.where(need, row, owner[:, g]))
+        taken = taken | (need[:, None] & jax.nn.one_hot(row, Q, dtype=bool))
+        return (owner, taken), None
+
+    (owner, _), _ = jax.lax.scan(
+        fill,
+        (owner, taken),
+        (costs.transpose(2, 0, 1), jnp.arange(G, dtype=jnp.int32)),
+    )
+    return owner
 
 
 def assign_fn_default(costs4: jnp.ndarray) -> jnp.ndarray:

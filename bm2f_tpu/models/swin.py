@@ -160,7 +160,10 @@ class SwinBlock(nn.Module):
         wp = int(math.ceil(W / w)) * w
         x = jnp.pad(x, ((0, 0), (0, hp - H), (0, wp - W), (0, 0)))
 
-        shift = self.shift if min(hp, wp) > w else 0
+        # The reference backbone (mask2former swin.py) always rolls and relies
+        # on the region attention mask, even when the padded map is a single
+        # window — keep that so converted checkpoints match at small inputs.
+        shift = self.shift
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
             mask = jnp.asarray(_shift_attn_mask(hp, wp, w, shift))

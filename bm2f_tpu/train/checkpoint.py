@@ -42,6 +42,26 @@ class Checkpointer:
             step, args=ocp.args.StandardRestore(state_template)
         )
 
+    def restore_variables(self, step: Optional[int] = None) -> Any:
+        """Restore model variables ({params[, frozen]}) from a checkpoint that
+        holds either a full TrainState (step/params/frozen/opt_state/rng — what
+        the Trainer saves) or bare variables. Orbax StandardRestore rejects
+        sub-structure templates ('tree structures do not match'), so restore
+        with the saved structure (no template) and extract the variables."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        raw = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        if "params" not in raw:
+            raise KeyError(
+                f"checkpoint at {self.directory} step {step} has no 'params' "
+                f"(keys: {list(raw)})"
+            )
+        variables = {"params": raw["params"]}
+        if raw.get("frozen"):
+            variables["frozen"] = raw["frozen"]
+        return variables
+
     def resume_or_load(self, state: Any, resume: bool = True) -> Any:
         """Reference semantics: if resume and a checkpoint exists, restore the
         FULL state (optimizer + step); otherwise return the fresh state."""

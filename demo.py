@@ -95,9 +95,7 @@ def main():
     elif args.weights:
         from bm2f_tpu.train.checkpoint import Checkpointer
 
-        variables = Checkpointer(args.weights).restore(
-            {"params": variables["params"], "frozen": variables.get("frozen", {})}
-        )
+        variables = Checkpointer(args.weights).restore_variables()
 
     os.makedirs(args.output, exist_ok=True)
 

@@ -63,9 +63,7 @@ def main():
     if args.weights:
         from bm2f_tpu.train.checkpoint import Checkpointer
 
-        variables = Checkpointer(args.weights).restore(
-            {"params": variables["params"], "frozen": variables.get("frozen", {})}
-        )
+        variables = Checkpointer(args.weights).restore_variables()
 
     out = model.apply(variables, normalize_images(jnp.asarray(clip), cfg.model))
     masks4 = out["pred_masks"][0]  # (Q, T, h4, w4)

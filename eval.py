@@ -27,7 +27,8 @@ def run_eval(cfg, model, variables, dataset_name: str, max_images: int = 0,
 
     meta = MetadataCatalog.get(dataset_name)
     num_classes = cfg.model.num_classes
-    mapper = EvalMapper(short_edge=short_edge, max_size=max_size, bucket=bucket)
+    mapper = EvalMapper(short_edge=short_edge, max_size=max_size, bucket=bucket,
+                        pad_value=cfg.model.pixel_mean)
     loader = build_test_loader(dataset_name, mapper, batch_size=1)
 
     @jax.jit
@@ -70,16 +71,21 @@ def run_eval(cfg, model, variables, dataset_name: str, max_images: int = 0,
                 "valid": np.ones(len(binary), bool),
             }
             dd = dicts[int(batch["image_id"][i])]
+            # crowd annotations are kept and flagged: the COCO protocol treats
+            # them as ignore regions (predictions matching them are neither TP
+            # nor FP), which COCOMaskAPEvaluator implements natively.
             gt_masks = [
                 segmentation_to_mask(a["segmentation"], oh, ow)
-                for a in dd["annotations"] if not a.get("iscrowd", 0)
+                for a in dd["annotations"]
             ]
             gt = {
                 "labels": np.asarray(
-                    [a["category_id"] for a in dd["annotations"]
-                     if not a.get("iscrowd", 0)], np.int64,
+                    [a["category_id"] for a in dd["annotations"]], np.int64,
                 ),
                 "masks": np.stack(gt_masks) if gt_masks else np.zeros((0, oh, ow)),
+                "iscrowd": np.asarray(
+                    [bool(a.get("iscrowd", 0)) for a in dd["annotations"]], bool,
+                ),
             }
             evaluator.process(jax.tree.map(np.asarray, inst), gt)
             n += 1
@@ -125,10 +131,7 @@ def main():
     elif args.weights:
         from bm2f_tpu.train.checkpoint import Checkpointer
 
-        ckpt = Checkpointer(args.weights)
-        state = ckpt.restore({"params": variables["params"],
-                              "frozen": variables.get("frozen", {})})
-        variables = state
+        variables = Checkpointer(args.weights).restore_variables()
 
     run_eval(cfg, model, variables, args.dataset, args.max_images)
 

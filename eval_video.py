@@ -111,9 +111,7 @@ def main():
     if args.weights:
         from bm2f_tpu.train.checkpoint import Checkpointer
 
-        variables = Checkpointer(args.weights).restore(
-            {"params": variables["params"], "frozen": variables.get("frozen", {})}
-        )
+        variables = Checkpointer(args.weights).restore_variables()
     run_video_eval(cfg, model, variables, args.dataset, args.max_videos)
 
 

@@ -40,10 +40,7 @@ class Predictor:
         elif weights:
             from bm2f_tpu.train.checkpoint import Checkpointer
 
-            self.variables = Checkpointer(weights).restore(
-                {"params": self.variables["params"],
-                 "frozen": self.variables.get("frozen", {})}
-            )
+            self.variables = Checkpointer(weights).restore_variables()
 
         self._predict = jax.jit(
             lambda x: self.model.apply(

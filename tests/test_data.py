@@ -117,3 +117,16 @@ def test_train_loader_batches():
     assert batch["images"].shape == (2, 64, 64, 3)
     assert batch["masks"].shape == (2, 5, 64, 64)
     assert batch["valid"].dtype == bool
+
+
+def test_flip_pads_land_bottom_right():
+    """Padding must land bottom/right of the FLIPPED image (reference: flip
+    precedes FixedSizeCrop / pad-to-divisibility), not on its left."""
+    from bm2f_tpu.data.transforms import GeomTransform
+
+    img = np.full((4, 4, 3), 200, np.uint8)
+    t = GeomTransform(resize_hw=(4, 4), flip=True, pad_hw=(6, 6))
+    out = t.apply_image(img, pad_value=0.0)
+    assert out.shape[:2] == (6, 6)
+    assert (out[:4, :4] == 200).all(), "content must stay top-left"
+    assert (out[:, 4:] == 0).all() and (out[4:] == 0).all()

@@ -317,6 +317,74 @@ def test_swin_block_matches_torch(rng):
                                rtol=5e-4, atol=5e-4)
 
 
+def test_swin_block_shifted_single_window_matches_torch(rng):
+    """Shifted SwinBlock when the padded feature map equals ONE window —
+    the reference (mask2former swin.py:174-298) still rolls and applies the
+    region mask; disabling shift there diverges for converted checkpoints
+    (ADVICE round 1). Torch oracle builds its own region mask."""
+    from bm2f_tpu.models.swin import SwinBlock, _relative_position_index
+
+    C, heads, win, shift = 32, 4, 7, 3
+    H = W = win  # single-window feature map
+    x = rng.randn(1, H, W, C).astype(np.float32)
+
+    blk = SwinBlock(dim=C, num_heads=heads, window=win, shift=shift,
+                    mlp_ratio=2.0, qkv_bias=True, qk_scale=None, drop_path=0.0)
+    variables = blk.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = variables["params"]
+
+    tx = torch.from_numpy(x)
+
+    def ln(v, name):
+        return F.layer_norm(
+            v, (C,), torch.from_numpy(np.asarray(p[name]["scale"])),
+            torch.from_numpy(np.asarray(p[name]["bias"])), eps=1e-5,
+        )
+
+    def lin(v, name, sub):
+        wgt = torch.from_numpy(np.asarray(p[name][sub]["kernel"])).T
+        b = p[name][sub].get("bias")
+        return F.linear(v, wgt, torch.from_numpy(np.asarray(b)) if b is not None else None)
+
+    # region mask exactly as reference swin.py builds it per forward
+    img_mask = torch.zeros(1, H, W, 1)
+    cnt = 0
+    for hs in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
+        for ws in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
+            img_mask[:, hs, ws, :] = cnt
+            cnt += 1
+    mask_windows = img_mask.view(1, 1, win, 1, win, 1).permute(0, 1, 3, 2, 4, 5)
+    mask_windows = mask_windows.reshape(-1, win * win)
+    attn_mask = mask_windows.unsqueeze(1) - mask_windows.unsqueeze(2)
+    attn_mask = attn_mask.masked_fill(attn_mask != 0, -100.0)
+
+    v = ln(tx, "norm1")
+    v = torch.roll(v, (-shift, -shift), dims=(1, 2))
+    vw = v.reshape(1, win * win, C)
+    qkv = lin(vw, "attn", "qkv").reshape(-1, win * win, 3, heads, C // heads)
+    q, k, val = qkv.permute(2, 0, 3, 1, 4)
+    attn = (q * (C // heads) ** -0.5) @ k.transpose(-2, -1)
+    bias_table = torch.from_numpy(np.asarray(p["attn"]["relative_position_bias_table"]))
+    idx = torch.from_numpy(_relative_position_index(win).reshape(-1))
+    rel = bias_table[idx].reshape(win * win, win * win, heads).permute(2, 0, 1)
+    attn = F.softmax(attn + rel[None] + attn_mask[:, None], dim=-1)
+    out = (attn @ val).transpose(1, 2).reshape(1, win, win, C)
+    out = lin(out, "attn", "proj")
+    out = torch.roll(out, (shift, shift), dims=(1, 2))
+    tref = tx + out
+    m = ln(tref, "norm2")
+    m = F.linear(m, torch.from_numpy(np.asarray(p["mlp_fc1"]["kernel"])).T,
+                 torch.from_numpy(np.asarray(p["mlp_fc1"]["bias"])))
+    m = F.gelu(m)
+    m = F.linear(m, torch.from_numpy(np.asarray(p["mlp_fc2"]["kernel"])).T,
+                 torch.from_numpy(np.asarray(p["mlp_fc2"]["bias"])))
+    tref = tref + m
+
+    ours = blk.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), tref.detach().numpy(),
+                               rtol=5e-4, atol=5e-4)
+
+
 def test_cross_attention_layer_matches_torch(rng):
     """Post-norm CrossAttentionLayer (reference:
     mask2former_transformer_decoder.py:75-135): attn(q+qpos, k+pos, v) ->

@@ -46,6 +46,18 @@ def test_auction_assign_near_optimal(rng):
         assert got <= opt + 0.15, f"auction too far from optimal: {got} vs {opt}"
 
 
+def test_auction_fallback_is_one_to_one(rng):
+    """With num_iters too small to converge, the greedy fallback fills the
+    stragglers — it must never hand one row to two columns (ADVICE round 1:
+    duplicate rows break the criterion's scatter)."""
+    # adversarial: one row is cheapest for every column
+    costs = rng.rand(8, 20, 12).astype(np.float32) + 1.0
+    costs[:, 0, :] = 0.0
+    out = np.asarray(auction_assign(jnp.asarray(costs), num_iters=1))
+    for b in range(costs.shape[0]):
+        assert len(set(out[b])) == 12, f"duplicate rows in batch {b}: {out[b]}"
+
+
 def test_batch_costs_match_torch(rng):
     Q, G, N = 10, 4, 64
     pred = rng.randn(Q, N).astype(np.float32)

@@ -93,6 +93,34 @@ def test_checkpoint_roundtrip(tmp_path):
     assert float(np.asarray(fresh["params"]["w"]).sum()) == 0.0
 
 
+def test_restore_variables_from_trainstate_checkpoint(tmp_path):
+    """eval/demo must be able to load a Trainer-saved checkpoint (full
+    TrainState: step/params/frozen/opt_state/rng) as bare model variables —
+    StandardRestore with a {params, frozen} template raises 'tree structures
+    do not match' on such checkpoints (ADVICE round 1, medium)."""
+    from bm2f_tpu.train.checkpoint import Checkpointer
+
+    state = {
+        "step": jnp.asarray(3),
+        "params": {"w": jnp.arange(4.0)},
+        "frozen": {"bn": {"mean": jnp.ones(2)}},
+        "opt_state": {"mu": {"w": jnp.zeros(4)}},
+        "rng": jax.random.PRNGKey(0),
+    }
+    ck = Checkpointer(str(tmp_path / "ck"))
+    ck.save(3, state)
+    variables = ck.restore_variables()
+    assert set(variables) == {"params", "frozen"}
+    np.testing.assert_allclose(np.asarray(variables["params"]["w"]), np.arange(4.0))
+    np.testing.assert_allclose(np.asarray(variables["frozen"]["bn"]["mean"]), 1.0)
+
+    # bare-variables checkpoints (no opt_state) load the same way
+    ck2 = Checkpointer(str(tmp_path / "ck2"))
+    ck2.save(0, {"params": {"w": jnp.ones(2)}})
+    v2 = ck2.restore_variables()
+    assert set(v2) == {"params"}
+
+
 def test_convert_checkpoint_structure_matches_model():
     """The d2-name converter must produce exactly the model's tree."""
     from bm2f_tpu.config import get_config

@@ -81,6 +81,11 @@ class PixelDecoderConfig:
     # the layer's dominant transient (the gathered-rows tensor) for training
     # memory headroom at large resolutions
     deform_q_chunks: int = 1
+    # deformable-sampling implementation: "auto" picks the hand-written
+    # Pallas kernel on TPU (measured ~3.4x XLA's gather emitter) and the
+    # XLA im2col formulation elsewhere; explicit values:
+    # "pallas" | "im2col" | "patch" | "xla"
+    deform_impl: str = "auto"
     # rematerialize encoder layers in backward — the deformable sampling's
     # gathered-row intermediates are ~2 GB/layer at 1024^2 and must not be
     # saved as residuals (jax.checkpoint; analogue of the reference's

@@ -174,7 +174,8 @@ class MSDeformAttnPixelDecoder(nn.Module):
     in_channels: Dict[str, int]
     in_strides: Dict[str, int]
     dtype: Any = jnp.float32
-    deform_impl: str = "im2col"
+    # overrides cfg.deform_impl when set (tests); None = use config
+    deform_impl: Any = None
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]):
@@ -222,7 +223,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 n_heads=cfg.transformer_nheads,
                 n_points=cfg.transformer_n_points,
                 dtype=self.dtype,
-                impl=self.deform_impl,
+                impl=self.deform_impl or getattr(cfg, "deform_impl", "im2col"),
                 q_chunks=cfg.deform_q_chunks,
                 name=f"encoder_layer_{li}",
             )(src, pos, ref_points, shapes)

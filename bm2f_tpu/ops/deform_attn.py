@@ -288,6 +288,13 @@ def _ms_deform_attn_im2col(value, spatial_shapes, sampling_locations,
     return out.reshape(B, Q, M * D).astype(dtype)
 
 
+def resolve_impl(impl: str) -> str:
+    """"auto" -> the Pallas kernel on TPU, XLA im2col elsewhere."""
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "im2col"
+    return impl
+
+
 def ms_deform_attn(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -298,6 +305,7 @@ def ms_deform_attn(
     q_chunks: int = 1,
 ) -> jnp.ndarray:
     """Multi-scale deformable attention core (see module docstring)."""
+    impl = resolve_impl(impl)
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     total = sum(h * w for h, w in spatial_shapes)
     if total != value.shape[1]:

@@ -1,22 +1,45 @@
-"""Pallas TPU kernel for multi-scale deformable attention.
+"""Pallas TPU kernels for multi-scale deformable attention.
 
-This is the hand-written-kernel counterpart of the reference's CUDA op
-(reference: ops/src/cuda/ms_deform_im2col_cuda.cuh:242-304). It keeps each
-(batch, head)'s im2col'd patch rows VMEM-resident and walks query tiles,
-doing one dynamic VMEM row load per (query, level, point) sample.
+TPU counterpart of the reference's CUDA op (reference:
+ops/src/cuda/ms_deform_im2col_cuda.cuh:242-304 forward, :306-927 backward).
 
-STATUS / measured reality (v5e, B=4, 800^2 encoder shapes): Mosaic issues
-scalar-addressed VMEM loads at ~40M/s, so this kernel sustains ~125 ms per
-encoder layer — SLOWER than the XLA `impl="im2col"` formulation (~35 ms of
-gather per layer), because XLA's gather emitter pipelines HBM row fetches
-harder than in-kernel dynamic loads. The kernel is kept (a) as the
-foundation for a future double-buffered DMA-gather variant and (b) as an
-executable reference of the sampling semantics. Default remains
-`impl="im2col"` (ops/deform_attn.py).
+Design (v5e-measured, 800^2 B=4 encoder shapes — one layer = 5.04M
+descriptors):
+  XLA's gather emitter issues ~10 ns per descriptor (~50 ms/layer). The
+  wall is descriptor issue rate, not HBM bandwidth. This kernel keeps each
+  (batch*head)'s im2col patch table VMEM-resident (constant-index input
+  block, raised vmem limit) and drives a scalar-addressed VMEM row-copy
+  loop with indices prefetched to SMEM — measured ~2.4 ns per copy, and
+  ~18 ms/layer including the weighting epilogue (2.7x XLA).
 
-Forward only: the custom VJP falls back to the XLA path (deterministic
-scatter-add, unlike the reference's atomicAdd col2im kernels,
-cuh:306-927).
+  Layout choices that matter (each measured):
+  - k-major scratch (row for sample k of query q lives at k*QT + q): the
+    K-reduction becomes K sublane-aligned (QT, 4D) slice FMAs; q-major
+    needs a misaligned (QT, K, 4D) reduction (~+4 ms/layer).
+  - corner weights are expanded to row lanes with a tiny MXU dot against
+    a 0/1 selector E (4, 4D). A hi/lo split (w = f32(bf16(w)) + residual,
+    two default-precision dots) keeps the expansion exact in f32 at no
+    measurable cost; a single HIGHEST-precision dot costs ~3.4 ms/layer
+    more, and VPU select/broadcast formulations are slower still.
+  - the 4-corner -> D-channel fold is three lane-slice adds in-kernel
+    (outputting (QT, 4D) and folding in XLA costs ~1 ms/layer more).
+
+Shared semantics with the XLA paths (ops/deform_attn.py): one im2col'd
+(4*D)-float row per pixel holds its 2x2 neighborhood; per-sample clamped
+start indices + per-corner weights reproduce grid_sample zero-padding
+exactly.
+
+Backward is a custom VJP (reference uses atomicAdd col2im kernels —
+nondeterministic; ours is a deterministic sequential scatter):
+  d_patches: expand w128 * g to per-row gradients in VMEM, then a scalar
+    scatter-add loop into an (S, 4D) accumulator held as a constant-index
+    output block across the query-tile grid axis (zeroed at tile 0).
+  d_w4: re-gather the rows (same loop as forward), multiply by the
+    corner-tiled incoming gradient, fold lanes per corner with an exact
+    hi/lo MXU dot against E^T.
+Gradients flow to value / sampling_locations / attention_weights through
+the XLA preprocessing (patch building + weight construction), which JAX
+autodiffs; only the gather core is hand-written.
 """
 
 from __future__ import annotations
@@ -31,18 +54,186 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bm2f_tpu.ops.deform_attn import level_start_index
 
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _expand_mat(D: int):
+    """E (4, 4D) 0/1 selector: E[c, l] = 1 iff l // D == c."""
+    lanes = 4 * D
+    c = jax.lax.broadcasted_iota(jnp.int32, (4, lanes), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (4, lanes), 1)
+    return (l // D == c).astype(jnp.float32)
+
+
+def _hilo_dot(a, b):
+    """Exact-in-f32 MXU dot for arbitrary a against 0/1 b: split a into a
+    bf16 head and residual; bf16xbf16 products accumulate exactly in f32."""
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    return jax.lax.dot(a_hi, b) + jax.lax.dot(a_lo, b)
+
+
+def _gather_rows(idx_ref, table_ref, scratch_ref, QT, K):
+    """scratch[k*QT + q] = table[idx[k, q]] — the scalar-issue hot loop."""
+
+    def body(qi, _):
+        for k in range(K):
+            a = idx_ref[0, k, qi]
+            scratch_ref[pl.ds(k * QT + qi, 1), :] = table_ref[0, pl.ds(a, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, QT, body, 0)
+
+
+def _fwd_kernel(idx_ref, w_ref, table_ref, out_ref, scratch_ref, *, QT, K, D):
+    _gather_rows(idx_ref, table_ref, scratch_ref, QT, K)
+    w128 = _hilo_dot(w_ref[0].reshape(K * QT, 4), _expand_mat(D))
+    acc = scratch_ref[0:QT] * w128[0:QT]
+    for k in range(1, K):
+        s = k * QT
+        acc = acc + scratch_ref[s : s + QT] * w128[s : s + QT]
+    out_ref[0] = acc[:, 0:D] + acc[:, D : 2 * D] + acc[:, 2 * D : 3 * D] + acc[
+        :, 3 * D : 4 * D
+    ]
+
+
+def _corner_tile(g, D):
+    """(QT, D) -> (QT, 4D): the query gradient repeated per corner block."""
+    return jnp.concatenate([g, g, g, g], axis=1)
+
+
+def _dpatches_kernel(idx_ref, w_ref, g_ref, out_ref, scratch_ref, *, QT, K, D):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    w128 = _hilo_dot(w_ref[0].reshape(K * QT, 4), _expand_mat(D))
+    g128 = _corner_tile(g_ref[0], D)
+    for k in range(K):
+        s = k * QT
+        scratch_ref[s : s + QT, :] = w128[s : s + QT] * g128
+
+    def body(qi, _):
+        for k in range(K):
+            a = idx_ref[0, k, qi]
+            out_ref[0, pl.ds(a, 1), :] += scratch_ref[pl.ds(k * QT + qi, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, QT, body, 0)
+
+
+def _dw4_kernel(idx_ref, g_ref, table_ref, out_ref, scratch_ref, *, QT, K, D):
+    _gather_rows(idx_ref, table_ref, scratch_ref, QT, K)
+    g128 = _corner_tile(g_ref[0], D)
+    for k in range(K):
+        s = k * QT
+        scratch_ref[s : s + QT, :] = scratch_ref[s : s + QT, :] * g128
+    dw4 = _hilo_dot(scratch_ref[:], _expand_mat(D).T)  # (K*QT, 4)
+    out_ref[0] = dw4.reshape(K, QT, 4)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gather_core(patches, idx, w4, q_tile, interpret):
+    """out[bm, q, d] = sum_{k,c} w4[bm,k,q,c] * patches[bm, idx[bm,k,q], c*D+d].
+
+    patches: (BM, S, 4D) f32; idx: (BM, K, Qp) int32; w4: (BM, K, Qp, 4) f32.
+    Returns (BM, Qp, D) f32. Qp must be a multiple of q_tile.
+    """
+    BM, S, D4 = patches.shape
+    _, K, Qp = idx.shape
+    D = D4 // 4
+    QT = q_tile
+    n_qt = Qp // QT
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, QT=QT, K=K, D=D),
+        grid=(BM, n_qt),
+        in_specs=[
+            pl.BlockSpec((1, K, QT), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, QT, 4), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D4), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, QT, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BM, Qp, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((K * QT, D4), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(idx, w4, patches)
+
+
+def _gather_core_fwd(patches, idx, w4, q_tile, interpret):
+    out = _gather_core(patches, idx, w4, q_tile, interpret)
+    return out, (patches, idx, w4)
+
+
+def _gather_core_bwd(q_tile, interpret, res, g):
+    patches, idx, w4 = res
+    BM, S, D4 = patches.shape
+    _, K, Qp = idx.shape
+    D = D4 // 4
+    QT = q_tile
+    n_qt = Qp // QT
+    g = g.astype(jnp.float32)
+
+    d_patches = pl.pallas_call(
+        functools.partial(_dpatches_kernel, QT=QT, K=K, D=D),
+        grid=(BM, n_qt),
+        in_specs=[
+            pl.BlockSpec((1, K, QT), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, QT, 4), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QT, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, D4), lambda b, i: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BM, S, D4), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((K * QT, D4), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(idx, w4, g)
+
+    d_w4 = pl.pallas_call(
+        functools.partial(_dw4_kernel, QT=QT, K=K, D=D),
+        grid=(BM, n_qt),
+        in_specs=[
+            pl.BlockSpec((1, K, QT), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, QT, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D4), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K, QT, 4), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BM, K, Qp, 4), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((K * QT, D4), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(idx, g, patches)
+
+    return d_patches, None, d_w4
+
+
+_gather_core.defvjp(_gather_core_fwd, _gather_core_bwd)
+
 
 def _build_patches_and_indices(
     value, spatial_shapes, sampling_locations, attention_weights
 ):
-    """Shared preprocessing with the im2col XLA path: per-pixel 2x2 patch
-    rows (B*M, S, 4D) + per-sample start indices (B, M, Q, K) and folded
-    weights (B, M, Q, K, 4)."""
+    """Same im2col preprocessing as ops/deform_attn.py `_ms_deform_attn_im2col`
+    (see there for the border-clamp weight placement proof): per-pixel 2x2
+    patch rows (B*M, S, 4D) + per-sample start indices (B*M, K, Q) and
+    folded per-corner weights (B*M, K, Q, 4), k-major for the kernel.
+    All in f32."""
     B, S, M, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     starts_lvl = level_start_index(spatial_shapes)
-    dtype = value.dtype
-    vbm = value.transpose(0, 2, 1, 3)
+    vbm = value.transpose(0, 2, 1, 3).astype(jnp.float32)
 
     patch_rows = []
     for lid, (H, W) in enumerate(spatial_shapes):
@@ -58,24 +249,24 @@ def _build_patches_and_indices(
 
     idx_all, w_all = [], []
     for lid, (H, W) in enumerate(spatial_shapes):
-        loc = sampling_locations[:, :, :, lid]
-        attn = attention_weights[:, :, :, lid]
+        loc = sampling_locations[:, :, :, lid].astype(jnp.float32)
+        attn = attention_weights[:, :, :, lid].astype(jnp.float32)
         fx = loc[..., 0] * W - 0.5
         fy = loc[..., 1] * H - 0.5
         x0 = jnp.floor(fx)
         y0 = jnp.floor(fy)
-        lx = (fx - x0).astype(dtype)
-        ly = (fy - y0).astype(dtype)
+        lx = fx - x0
+        ly = fy - y0
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
-        wy0 = (1 - ly) * ((y0i >= 0) & (y0i < H)).astype(dtype)
-        wy1 = ly * ((y0i + 1 >= 0) & (y0i + 1 < H)).astype(dtype)
-        wx0 = (1 - lx) * ((x0i >= 0) & (x0i < W)).astype(dtype)
-        wx1 = lx * ((x0i + 1 >= 0) & (x0i + 1 < W)).astype(dtype)
+        wy0 = (1 - ly) * ((y0i >= 0) & (y0i < H))
+        wy1 = ly * ((y0i + 1 >= 0) & (y0i + 1 < H))
+        wx0 = (1 - lx) * ((x0i >= 0) & (x0i < W))
+        wx1 = lx * ((x0i + 1 >= 0) & (x0i + 1 < W))
         ys = jnp.clip(y0i, 0, H - 2)
         xs = jnp.clip(x0i, 0, W - 2)
-        sy = (y0i - ys).astype(dtype)
-        sx = (x0i - xs).astype(dtype)
+        sy = (y0i - ys).astype(jnp.float32)
+        sx = (x0i - xs).astype(jnp.float32)
         wyp0 = wy0 * (sy == 0) + wy1 * (sy == -1)
         wyp1 = wy0 * (sy == 1) + wy1 * (sy == 0)
         wxp0 = wx0 * (sx == 0) + wx1 * (sx == -1)
@@ -86,13 +277,14 @@ def _build_patches_and_indices(
         idx_all.append(starts_lvl[lid] + ys * W + xs)
         w_all.append(w4)
 
-    idx = jnp.stack(idx_all, 3).transpose(0, 2, 1, 3, 4)  # (B,M,Q,L,P)
-    w = jnp.stack(w_all, 3).transpose(0, 2, 1, 3, 4, 5)  # (B,M,Q,L,P,4)
+    # (B, M, Q, L, P) -> k-major (B*M, K, Q)
+    idx = jnp.stack(idx_all, 3).transpose(0, 2, 3, 4, 1)  # (B,M,L,P,Q)
+    w = jnp.stack(w_all, 3).transpose(0, 2, 3, 4, 1, 5)  # (B,M,L,P,Q,4)
     K = L * P
     return (
-        patches,
-        idx.reshape(B, M, Q, K),
-        w.reshape(B, M, Q, K, 4),
+        patches.reshape(B * M, S, 4 * D),
+        idx.reshape(B * M, K, Q),
+        w.reshape(B * M, K, Q, 4),
     )
 
 
@@ -103,56 +295,24 @@ def ms_deform_attn_pallas(
     attention_weights: jnp.ndarray,
     *,
     q_tile: int = 256,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
+    """Drop-in for ops.ms_deform_attn (same contract; see deform_attn.py)."""
     B, S, M, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
-    K = L * P
-    D4 = 4 * D
-    patches, idx, w = _build_patches_and_indices(
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret is True:
+        # TPU-semantics interpreter (supports in-kernel refs + program_id)
+        interpret = pltpu.InterpretParams()
+    patches, idx, w4 = _build_patches_and_indices(
         value, spatial_shapes, sampling_locations, attention_weights
     )
-    # pad Q to a tile multiple
+    q_tile = min(q_tile, ((Q + 7) // 8) * 8)
     Qp = (Q + q_tile - 1) // q_tile * q_tile
     if Qp != Q:
-        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, Qp - Q), (0, 0), (0, 0)))
-    # weights as (BM, Qp, K*4) rows so the kernel reads one row per query
-    wf = w.reshape(B * M, Qp, K * 4).astype(jnp.float32)
-    idxf = idx.reshape(B * M, Qp, K)
-    pf = patches.reshape(B * M, S, D4).astype(jnp.float32)
-
-    n_qt = Qp // q_tile
-
-    def kernel(idx_ref, w_ref, patch_ref, out_ref):
-        def q_body(qi, _):
-            acc = jnp.zeros((1, D), jnp.float32)
-            for k in range(K):  # static unroll
-                a = idx_ref[0, qi, k]
-                row = patch_ref[0, a, :].reshape(4, D)
-                wk = w_ref[0, qi, k * 4 : (k + 1) * 4]
-                acc = acc + (wk[:, None] * row).sum(0, keepdims=True)
-            out_ref[0, pl.ds(qi, 1), :] = acc
-            return 0
-
-        jax.lax.fori_loop(0, q_tile, q_body, 0)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(B * M, n_qt),
-        in_specs=[
-            pl.BlockSpec((1, q_tile, K), lambda bm, qt: (bm, qt, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_tile, K * 4), lambda bm, qt: (bm, qt, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D4), lambda bm, qt: (bm, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, q_tile, D), lambda bm, qt: (bm, qt, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * M, Qp, D), jnp.float32),
-        interpret=interpret,
-    )(idxf, wf, pf)
-
-    out = out.reshape(B, M, Qp, D)[:, :, :Q]
-    return out.transpose(0, 2, 1, 3).reshape(B, Q, M * D).astype(value.dtype)
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, Qp - Q)))
+        w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
+    out = _gather_core(patches, idx, w4, q_tile, interpret)  # (BM, Qp, D)
+    out = out[:, :Q].reshape(B, M, Q, D).transpose(0, 2, 1, 3)
+    return out.reshape(B, Q, M * D).astype(value.dtype)

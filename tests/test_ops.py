@@ -155,6 +155,34 @@ def test_ms_deform_attn_pallas_interpret_matches(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
 
 
+def test_ms_deform_attn_pallas_grads_match(rng):
+    """Custom-VJP kernels (d_patches scatter + d_w4 re-gather) against XLA
+    autodiff of the im2col path, all three grads."""
+    from bm2f_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
+
+    B, M, D, P = 2, 2, 32, 3
+    shapes = ((6, 7), (3, 4))
+    S = sum(h * w for h, w in shapes)
+    Q, L = 29, 2
+    value = jnp.asarray(rng.randn(B, S, M, D).astype(np.float32))
+    loc = jnp.asarray((rng.rand(B, Q, M, L, P, 2) * 1.4 - 0.2).astype(np.float32))
+    attn = jnp.asarray((rng.rand(B, Q, M, L, P) / 6).astype(np.float32))
+
+    def loss_ref(v, l, a):
+        o = ms_deform_attn(v, shapes, l, a, impl="im2col")
+        return jnp.sum(jnp.sin(o * 0.3))
+
+    def loss_pal(v, l, a):
+        o = ms_deform_attn_pallas(v, shapes, l, a, q_tile=8, interpret=True)
+        return jnp.sum(jnp.sin(o * 0.3))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(value, loc, attn)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(value, loc, attn)
+    for a_, b_ in zip(gr, gp):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("impl", ["patch", "im2col"])
 def test_ms_deform_attn_impl_parity(rng, impl):
     B, M, D, P = 2, 4, 8, 4

@@ -210,12 +210,17 @@ class OptimizerConfig:
     backbone_multiplier: float = 0.1
     clip_gradients: float = 0.01  # full-model L2 clip value
     betas: Tuple[float, float] = (0.9, 0.999)
-    # schedule
+    # schedule: "multistep" (WarmupMultiStepLR, COCO/YTVIS configs) or
+    # "poly" (WarmupPolyLR, all ADE20K/Cityscapes/Mapillary configs —
+    # Base-ADE20K-SemanticSegmentation.yaml:27)
+    lr_schedule: str = "multistep"
     max_iter: int = 368750
     warmup_iters: int = 10
     warmup_factor: float = 1.0
     steps: Tuple[int, ...] = (327778, 355092)
     gamma: float = 0.1
+    poly_power: float = 0.9
+    poly_constant_ending: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -223,13 +228,22 @@ class InputConfig:
     """Static-shape input pipeline (reference: LSJ config.py:97-99 and
     dataset mappers)."""
 
-    image_size: int = 1024  # LSJ crop size
+    image_size: int = 1024  # LSJ / crop size (crop height for semantic)
     min_scale: float = 0.1
     max_scale: float = 2.0
     dataset_mapper: str = "coco_instance_lsj"
     color_aug_ssd: bool = False
     size_divisibility: int = 32
     max_instances: int = 100  # static G_max padding for targets
+    # non-LSJ mappers (mask_former_semantic/panoptic/instance):
+    # ResizeShortestEdge choices (reference MIN_SIZE_TRAIN, e.g.
+    # Base-ADE20K yaml:37 [int(x*0.1*512) for x in range(5,21)]);
+    # () = single choice of image_size
+    short_edge_choices: Tuple[int, ...] = ()
+    max_size_train: int = 2048
+    # crop width when != crop height (Cityscapes semantic crops (512, 1024),
+    # Base-Cityscapes-SemanticSegmentation.yaml); 0 = square image_size
+    crop_width: int = 0
     # video
     sampling_frame_num: int = 2
     sampling_frame_range: int = 20
@@ -297,95 +311,298 @@ def update(cfg: Config, overrides: Mapping[str, Any]) -> Config:
 # ---------------------------------------------------------------------------
 
 
-def coco_instance_r50() -> Config:
-    """configs/coco/instance-segmentation/maskformer2_R50_bs16_50ep.yaml"""
-    return update(
-        Config(),
-        {
-            "task": "instance",
-            "model.num_classes": 80,
-            "model.test.semantic_on": False,
-            "model.test.instance_on": True,
-            "model.test.panoptic_on": False,
-            "model.test.object_mask_threshold": 0.8,
-        },
-    )
+# Backbone variants (reference: configs/*/swin/*.yaml deltas; the two IN21k
+# flavours share the architecture with their IN1k counterparts — they differ
+# only in pretrained weights, which live outside the config tree here).
+_SWIN = {
+    "swin_t": {
+        "model.backbone.swin.embed_dim": 96,
+        "model.backbone.swin.depths": (2, 2, 6, 2),
+        "model.backbone.swin.num_heads": (3, 6, 12, 24),
+        "model.backbone.swin.window_size": 7,
+        "model.backbone.swin.pretrain_img_size": 224,
+    },
+    "swin_s": {
+        "model.backbone.swin.embed_dim": 96,
+        "model.backbone.swin.depths": (2, 2, 18, 2),
+        "model.backbone.swin.num_heads": (3, 6, 12, 24),
+        "model.backbone.swin.window_size": 7,
+        "model.backbone.swin.pretrain_img_size": 224,
+    },
+    "swin_b": {
+        "model.backbone.swin.embed_dim": 128,
+        "model.backbone.swin.depths": (2, 2, 18, 2),
+        "model.backbone.swin.num_heads": (4, 8, 16, 32),
+        "model.backbone.swin.window_size": 12,
+        "model.backbone.swin.pretrain_img_size": 384,
+    },
+    "swin_l": {
+        "model.backbone.swin.embed_dim": 192,
+        "model.backbone.swin.depths": (2, 2, 18, 2),
+        "model.backbone.swin.num_heads": (6, 12, 24, 48),
+        "model.backbone.swin.window_size": 12,
+        "model.backbone.swin.pretrain_img_size": 384,
+    },
+}
 
 
-def coco_panoptic_r50() -> Config:
-    """configs/coco/panoptic-segmentation/maskformer2_R50_bs16_50ep.yaml"""
-    return update(
-        Config(),
-        {
-            "task": "panoptic",
-            "model.num_classes": 133,
-            "model.test.semantic_on": True,
-            "model.test.instance_on": True,
+def _with_backbone(cfg: Config, backbone: str, swin_l_queries: int = 200) -> Config:
+    """Apply a backbone variant name: r50 | r101 | swin_{t,s,b,l}."""
+    if backbone == "r50":
+        return cfg
+    if backbone == "r101":
+        return update(cfg, {"model.backbone.resnet.depth": 101})
+    over = dict(_SWIN[backbone])
+    over["model.backbone.name"] = "swin"
+    if backbone == "swin_l":
+        over["model.decoder.num_queries"] = swin_l_queries
+    return update(cfg, over)
+
+
+def _se_choices(base: int) -> Tuple[int, ...]:
+    """MIN_SIZE_TRAIN 'choice' ladder: [int(x*0.1*base) for x in 5..20]
+    (e.g. Base-ADE20K-SemanticSegmentation.yaml:37)."""
+    return tuple(int(x * 0.1 * base) for x in range(5, 21))
+
+
+def _poly(cfg: Config, max_iter: int) -> Config:
+    """WarmupPolyLR solver block shared by all ADE20K / Cityscapes /
+    Mapillary configs (WARMUP_ITERS 0, POLY_LR_POWER 0.9)."""
+    return update(cfg, {
+        "train.optimizer.lr_schedule": "poly",
+        "train.optimizer.max_iter": max_iter,
+        "train.optimizer.warmup_iters": 0,
+        "train.optimizer.steps": (),
+    })
+
+
+def _test_flags(task: str) -> dict:
+    if task == "semantic":
+        return {"model.test.semantic_on": True, "model.test.instance_on": False,
+                "model.test.panoptic_on": False}
+    if task == "instance":
+        return {"model.test.semantic_on": False, "model.test.instance_on": True,
+                "model.test.panoptic_on": False,
+                "model.test.object_mask_threshold": 0.8}
+    return {"model.test.semantic_on": True, "model.test.instance_on": True,
             "model.test.panoptic_on": True,
             "model.test.object_mask_threshold": 0.8,
-            "model.test.overlap_threshold": 0.8,
-        },
-    )
+            "model.test.overlap_threshold": 0.8}
 
 
-def ade20k_semantic_r50() -> Config:
-    """configs/ade20k/semantic-segmentation/maskformer2_R50_bs16_160k.yaml"""
-    return update(
-        Config(),
-        {
-            "task": "semantic",
-            "model.num_classes": 150,
-            "model.test.semantic_on": True,
-            "input.image_size": 512,
-            "input.dataset_mapper": "mask_former_semantic",
-            "train.optimizer.max_iter": 160000,
-            "train.optimizer.steps": (144000, 152000),
-        },
-    )
+def coco_base(task: str) -> Config:
+    """configs/coco/{instance,panoptic}-segmentation/Base-*.yaml: LSJ 1024,
+    AdamW multistep 368750 (50 epochs at bs16)."""
+    over = {
+        "task": task,
+        "model.num_classes": 80 if task == "instance" else 133,
+        "input.image_size": 1024,
+        "input.dataset_mapper":
+            "coco_instance_lsj" if task == "instance" else "coco_panoptic_lsj",
+        "train.optimizer.max_iter": 368750,
+        "train.optimizer.steps": (327778, 355092),
+    }
+    over.update(_test_flags(task))
+    return update(Config(), over)
 
 
-def coco_panoptic_swin_l() -> Config:
-    """configs/coco/panoptic-segmentation/swin/maskformer2_swin_large_IN21k_384_bs16_100ep.yaml"""
-    cfg = coco_panoptic_r50()
-    return update(
-        cfg,
-        {
-            "model.backbone.name": "swin",
-            "model.backbone.swin.embed_dim": 192,
-            "model.backbone.swin.depths": (2, 2, 18, 2),
-            "model.backbone.swin.num_heads": (6, 12, 24, 48),
-            "model.backbone.swin.window_size": 12,
-            "model.backbone.swin.pretrain_img_size": 384,
-            "model.decoder.num_queries": 200,
-        },
-    )
+def ade20k_base(task: str) -> Config:
+    """configs/ade20k/*/Base-*.yaml: poly 160k; semantic trains at 512,
+    instance/panoptic at 640 (Base-ADE20K-*Segmentation.yaml)."""
+    size = 512 if task == "semantic" else 640
+    over = {
+        "task": task,
+        "model.num_classes": {"semantic": 150, "instance": 100,
+                              "panoptic": 150}[task],
+        "input.image_size": size,
+        "input.short_edge_choices": _se_choices(size),
+        "input.max_size_train": 2048 if task == "semantic" else 2560,
+        "input.color_aug_ssd": True,
+        "input.dataset_mapper": f"mask_former_{task}",
+    }
+    over.update(_test_flags(task))
+    return _poly(update(Config(), over), 160000)
 
 
-def ytvis2019_video_r50() -> Config:
-    """configs/youtubevis_2019/video_maskformer2_R50_bs16_8ep.yaml"""
-    return update(
-        Config(),
-        {
-            "task": "video",
-            "model.num_classes": 40,
-            "model.test.instance_on": True,
-            "model.test.semantic_on": False,
-            "model.num_frames": 2,
-            "input.image_size": 512,
-            "input.dataset_mapper": "ytvis",
-            "train.optimizer.max_iter": 6000,
-            "train.optimizer.steps": (4000,),
-        },
-    )
+def cityscapes_base(task: str) -> Config:
+    """configs/cityscapes/*/Base-*.yaml: poly 90k, shortest-edge ladder off
+    1024, rectangular 512x1024 crops."""
+    over = {
+        "task": task,
+        "model.num_classes": {"semantic": 19, "instance": 8,
+                              "panoptic": 19}[task],
+        "input.image_size": 512,
+        "input.crop_width": 1024,
+        "input.short_edge_choices": _se_choices(1024),
+        "input.max_size_train": 4096,
+        "input.color_aug_ssd": True,
+        "input.dataset_mapper": f"mask_former_{task}",
+    }
+    over.update(_test_flags(task))
+    return _poly(update(Config(), over), 90000)
 
 
-PRESETS = {
-    "coco_instance_r50": coco_instance_r50,
-    "coco_panoptic_r50": coco_panoptic_r50,
-    "ade20k_semantic_r50": ade20k_semantic_r50,
-    "coco_panoptic_swin_l": coco_panoptic_swin_l,
-    "ytvis2019_video_r50": ytvis2019_video_r50,
-}
+def mapillary_base(task: str) -> Config:
+    """configs/mapillary-vistas/*/Base-*.yaml: poly 300k, ladder off 2048,
+    1024^2 crops, 65 classes."""
+    over = {
+        "task": task,
+        "model.num_classes": 65,
+        "input.image_size": 1024,
+        "input.short_edge_choices": _se_choices(2048),
+        "input.max_size_train": 8192,
+        "input.color_aug_ssd": True,
+        "input.dataset_mapper": f"mask_former_{task}",
+    }
+    over.update(_test_flags(task))
+    return _poly(update(Config(), over), 300000)
+
+
+def ytvis_base(year: int) -> Config:
+    """configs/youtubevis_{2019,2021}/Base-*.yaml (2021_mini shares 2021's
+    schedule)."""
+    return update(Config(), {
+        "task": "video",
+        "model.num_classes": 40,
+        "model.test.instance_on": True,
+        "model.test.semantic_on": False,
+        "model.num_frames": 2,
+        "input.image_size": 512,
+        "input.short_edge_choices": (360, 480),
+        "input.dataset_mapper": "ytvis",
+        "train.optimizer.max_iter": 6000 if year == 2019 else 8000,
+        "train.optimizer.steps": (4000,) if year == 2019 else (5500,),
+    })
+
+
+def _weak(cfg: Config, sup_type: str, *, batch: int, lr: float,
+          max_iter: int, steps: Tuple[int, ...],
+          pairwise_weight: float = None,
+          temporal_pairwise_weight: float = None) -> Config:
+    """BM2F weak-supervision variant solver block (e.g.
+    youtubevis_2021/video_maskformer2_R50_bs16_8k_proj*.yaml)."""
+    over = {
+        "model.loss.sup_type": sup_type,
+        "train.ims_per_batch": batch,
+        "train.optimizer.base_lr": lr,
+        "train.optimizer.max_iter": max_iter,
+        "train.optimizer.steps": steps,
+    }
+    if pairwise_weight is not None:
+        over["model.loss.weak.pairwise_weight"] = pairwise_weight
+    if temporal_pairwise_weight is not None:
+        over["model.loss.weak.temporal_pairwise_weight"] = temporal_pairwise_weight
+    return update(cfg, over)
+
+
+def _build_presets():
+    """The reference's full configs/ tree as named presets (one per yaml;
+    the *_IN21k_* weight-only twins fold into their architecture preset)."""
+    p = {}
+
+    # --- COCO instance + panoptic (LSJ, multistep) ---
+    for task in ("instance", "panoptic"):
+        for bb in ("r50", "r101", "swin_t", "swin_s", "swin_b", "swin_l"):
+            def mk(task=task, bb=bb):
+                cfg = _with_backbone(coco_base(task), bb)
+                if bb == "swin_l":  # 100-epoch schedule (swin yaml)
+                    cfg = update(cfg, {
+                        "train.optimizer.max_iter": 737500,
+                        "train.optimizer.steps": (655556, 710184),
+                    })
+                return cfg
+            p[f"coco_{task}_{bb}"] = mk
+    # weak supervision on LSJ COCO (maskformer2_R50_bs16_50ep_proj.yaml)
+    p["coco_instance_r50_proj"] = lambda: update(
+        coco_base("instance"), {"model.loss.sup_type": "mask_projection"})
+
+    # --- COCO without LSJ (BM2F weak-sup family, configs/coco_wo_lsj;
+    # shortest-edge (512..864) max 1400 mapper; solver bs8/5e-5/180k.
+    # Static-shape deviation: resized images are cropped/padded to a fixed
+    # 864x1408 canvas (the reference pads per-batch dynamically). ---
+    def coco_wo_lsj(sup="mask"):
+        cfg = update(coco_base("instance"), {
+            "input.dataset_mapper": "mask_former_instance",
+            "input.image_size": 864,
+            "input.crop_width": 1408,
+            "input.short_edge_choices": (512, 640, 704, 768, 800, 864),
+            "input.max_size_train": 1400,
+        })
+        if sup != "mask":
+            cfg = _weak(cfg, sup, batch=8, lr=5e-5, max_iter=180000,
+                        steps=(120000, 160000))
+        return cfg
+
+    p["coco_instance_r50_wo_lsj"] = lambda: coco_wo_lsj()
+    p["coco_instance_r50_wo_lsj_proj"] = lambda: coco_wo_lsj("mask_projection")
+    p["coco_instance_r50_wo_lsj_projpair"] = (
+        lambda: coco_wo_lsj("mask_projection_and_pairwise"))
+
+    # --- ADE20K ---
+    for bb in ("r50", "r101", "swin_t", "swin_s", "swin_b", "swin_l"):
+        def mk_sem(bb=bb):
+            cfg = _with_backbone(ade20k_base("semantic"), bb,
+                                 swin_l_queries=100)
+            if bb in ("swin_b", "swin_l"):  # res640 swin semantic variants
+                cfg = update(cfg, {
+                    "input.image_size": 640,
+                    "input.short_edge_choices": _se_choices(640),
+                    "input.max_size_train": 2560,
+                })
+            return cfg
+        p[f"ade20k_semantic_{bb}"] = mk_sem
+    for task in ("instance", "panoptic"):
+        for bb in ("r50", "swin_l"):
+            p[f"ade20k_{task}_{bb}"] = (
+                lambda task=task, bb=bb: _with_backbone(ade20k_base(task), bb))
+
+    # --- Cityscapes ---
+    for task in ("semantic", "instance", "panoptic"):
+        for bb in ("r50", "r101", "swin_t", "swin_s", "swin_b", "swin_l"):
+            p[f"cityscapes_{task}_{bb}"] = (
+                lambda task=task, bb=bb: _with_backbone(
+                    cityscapes_base(task), bb,
+                    swin_l_queries=100 if task == "semantic" else 200))
+
+    # --- Mapillary Vistas ---
+    for task in ("semantic", "panoptic"):
+        for bb in ("r50", "swin_l"):
+            p[f"mapillary_{task}_{bb}"] = (
+                lambda task=task, bb=bb: _with_backbone(
+                    mapillary_base(task), bb,
+                    swin_l_queries=100 if task == "semantic" else 200))
+
+    # --- YouTubeVIS ---
+    for year in (2019, 2021):
+        for bb in ("r50", "r101", "swin_t", "swin_s", "swin_b", "swin_l"):
+            p[f"ytvis{year}_video_{bb}"] = (
+                lambda year=year, bb=bb: _with_backbone(ytvis_base(year), bb))
+    # BM2F weak-sup video variants (2021 + 2021_mini share the deltas)
+    for mini in ("", "_mini"):
+        base_name = f"ytvis2021{mini}_video_r50"
+        if mini:
+            p[base_name] = lambda: ytvis_base(2021)
+        p[f"{base_name}_proj"] = lambda: _weak(
+            ytvis_base(2021), "mask_projection",
+            batch=8, lr=5e-5, max_iter=16000, steps=(11000,))
+        p[f"{base_name}_proj_spatpair"] = lambda: _weak(
+            ytvis_base(2021), "mask_projection_and_spatial_pairwise",
+            batch=8, lr=5e-5, max_iter=16000, steps=(11000,),
+            pairwise_weight=2.0)
+        p[f"{base_name}_proj_spatpair_temppair"] = lambda: _weak(
+            ytvis_base(2021),
+            "mask_projection_and_spatial_pairwise_and_temporal_pairwise",
+            batch=4, lr=2.5e-5, max_iter=32000, steps=(22000,),
+            pairwise_weight=2.0, temporal_pairwise_weight=2.0)
+    p["ytvis2021_mini_video_r50_proj_spatpair_batch4"] = lambda: _weak(
+        ytvis_base(2021), "mask_projection_and_spatial_pairwise",
+        batch=4, lr=2.5e-5, max_iter=32000, steps=(22000,),
+        pairwise_weight=2.0)
+
+    return p
+
+
+PRESETS = _build_presets()
 
 
 def get_config(name: str, overrides: Optional[Mapping[str, Any]] = None) -> Config:

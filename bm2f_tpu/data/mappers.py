@@ -137,24 +137,35 @@ class MaskFormerSemanticMapper:
         cfg: InputConfig,
         is_train: bool = True,
         seed: int = 0,
-        short_edge_choices=(512,),
+        short_edge_choices=None,
         ignore_label: int = 255,
         single_category_max_area: float = 1.0,
     ):
         self.cfg = cfg
         self.rng = np.random.RandomState(seed)
+        # MIN_SIZE_TRAIN "choice" sampling comes from the config (e.g.
+        # Base-ADE20K yaml:37 [int(x*0.1*512) for x in range(5,21)]);
+        # an explicit argument overrides (tests)
+        if short_edge_choices is None:
+            short_edge_choices = (
+                getattr(cfg, "short_edge_choices", ()) or (cfg.image_size,)
+            )
         self.short_edge_choices = short_edge_choices
+        self.max_size = getattr(cfg, "max_size_train", 2048)
+        # crops may be rectangular (Cityscapes semantic: (512, 1024))
+        self.crop_hw = (cfg.image_size,
+                        getattr(cfg, "crop_width", 0) or cfg.image_size)
         self.ignore_label = ignore_label
         # reference: INPUT.CROP.SINGLE_CATEGORY_MAX_AREA (config.py:16-18) —
         # retry random crops until no single category dominates
         self.single_category_max_area = single_category_max_area
 
     def _transform_with_category_constraint(self, h, w, sem):
-        S = self.cfg.image_size
         for _ in range(10):
             t = shortest_edge_transform(
                 self.rng, h, w, self.short_edge_choices,
-                crop_size=(S, S), fixed_pad=(S, S),
+                max_size=self.max_size,
+                crop_size=self.crop_hw, fixed_pad=self.crop_hw,
             )
             if self.single_category_max_area >= 1.0:
                 return t
@@ -176,7 +187,7 @@ class MaskFormerSemanticMapper:
             with Image.open(dd["sem_seg_file_name"]) as im:
                 sem = np.asarray(im).astype(np.int32)
         h, w = img.shape[:2]
-        S = self.cfg.image_size
+        S, SW = self.crop_hw
         t = self._transform_with_category_constraint(h, w, sem)
         if self.cfg.color_aug_ssd:
             img = color_aug_ssd(self.rng, img)
@@ -188,8 +199,8 @@ class MaskFormerSemanticMapper:
         labels = classes.astype(np.int32)
         masks = np.stack(
             [(sem_t == c).astype(np.float32) for c in classes]
-        ) if len(classes) else np.zeros((0, S, S), np.float32)
-        L, M, V = _pad_targets(labels, masks, self.cfg.max_instances, S, S)
+        ) if len(classes) else np.zeros((0, S, SW), np.float32)
+        L, M, V = _pad_targets(labels, masks, self.cfg.max_instances, S, SW)
         return {
             "images": image,
             "labels": L,
@@ -208,10 +219,11 @@ class MaskFormerPanopticMapper(MaskFormerSemanticMapper):
         if img is None:
             img = read_image(dd["file_name"])
         h, w = img.shape[:2]
-        S = self.cfg.image_size
+        S, SW = self.crop_hw
         t = shortest_edge_transform(
             self.rng, h, w, self.short_edge_choices,
-            crop_size=(S, S), fixed_pad=(S, S),
+            max_size=self.max_size,
+            crop_size=self.crop_hw, fixed_pad=self.crop_hw,
         )
         if self.cfg.color_aug_ssd:
             img = color_aug_ssd(self.rng, img)
@@ -233,8 +245,8 @@ class MaskFormerPanopticMapper(MaskFormerSemanticMapper):
             labels.append(seg["category_id"])
             masks.append(m)
         labels = np.asarray(labels, np.int32)
-        masks = np.stack(masks) if masks else np.zeros((0, S, S), np.float32)
-        L, M, V = _pad_targets(labels, masks, self.cfg.max_instances, S, S)
+        masks = np.stack(masks) if masks else np.zeros((0, S, SW), np.float32)
+        L, M, V = _pad_targets(labels, masks, self.cfg.max_instances, S, SW)
         return {"images": image, "labels": L, "masks": M, "valid": V}
 
 
@@ -243,10 +255,17 @@ class MaskFormerInstanceMapper:
     mask_former_instance_dataset_mapper.py)."""
 
     def __init__(self, cfg: InputConfig, is_train=True, seed=0,
-                 short_edge_choices=(512,)):
+                 short_edge_choices=None):
         self.cfg = cfg
         self.rng = np.random.RandomState(seed)
+        if short_edge_choices is None:
+            short_edge_choices = (
+                getattr(cfg, "short_edge_choices", ()) or (cfg.image_size,)
+            )
         self.short_edge_choices = short_edge_choices
+        self.max_size = getattr(cfg, "max_size_train", 2048)
+        self.crop_hw = (cfg.image_size,
+                        getattr(cfg, "crop_width", 0) or cfg.image_size)
 
     def __call__(self, dd: Dict) -> Optional[Dict]:
         img = dd.get("image")
@@ -256,7 +275,8 @@ class MaskFormerInstanceMapper:
         S = self.cfg.image_size
         t = shortest_edge_transform(
             self.rng, h, w, self.short_edge_choices,
-            crop_size=(S, S), fixed_pad=(S, S),
+            max_size=self.max_size,
+            crop_size=self.crop_hw, fixed_pad=self.crop_hw,
         )
         image = t.apply_image(img).astype(np.float32)
         labels, masks = [], []
@@ -270,22 +290,28 @@ class MaskFormerInstanceMapper:
             labels.append(ann["category_id"])
             masks.append(m.astype(np.float32))
         labels = np.asarray(labels, np.int32)
-        masks = np.stack(masks) if masks else np.zeros((0, S, S), np.float32)
-        L, M, V = _pad_targets(labels, masks, self.cfg.max_instances, S, S)
+        SW = self.crop_hw[1]
+        masks = np.stack(masks) if masks else np.zeros((0, S, SW), np.float32)
+        L, M, V = _pad_targets(labels, masks, self.cfg.max_instances, S, SW)
         return {"images": image, "labels": L, "masks": M, "valid": V}
 
 
 class EvalMapper:
-    """Eval-time mapper: resize shortest edge (no flip/crop), pad to a fixed
-    bucket so eval batches are static-shape; records the original size for
+    """Eval-time mapper: resize shortest edge (no flip/crop), pad to the
+    smallest of a few size buckets so eval batches are static-shape without
+    padding every image to the global max (a single 1344 bucket wastes up to
+    ~2.8x compute on 800x600 COCO images); one XLA compile per bucket,
+    bounded by len(buckets). Records the original size for
     sem_seg_postprocess."""
 
     def __init__(self, short_edge: int = 800, max_size: int = 1333,
-                 bucket: int = 1344,
+                 bucket=(704, 960, 1344),
                  pad_value: Tuple[float, ...] = (123.675, 116.28, 103.53)):
         self.short_edge = short_edge
         self.max_size = max_size
-        self.bucket = bucket
+        self.buckets = tuple(sorted(
+            (bucket,) if isinstance(bucket, int) else tuple(bucket)
+        ))
         # The reference pads the NORMALIZED tensor with zeros (= mean pixel in
         # raw space, detectron2 ImageList semantics); padding raw pixels with 0
         # would be ~-2 sigma after normalization and shifts border conv
@@ -304,7 +330,8 @@ class EvalMapper:
         from bm2f_tpu.data.transforms import resize_image
 
         image = resize_image(img, nh, nw).astype(np.float32)
-        B = self.bucket
+        B = next((b for b in self.buckets if b >= max(nh, nw)),
+                 self.buckets[-1])
         full = np.broadcast_to(self.pad_value, (B, B, 3)).copy()
         full[:nh, :nw] = image
         image = full

@@ -97,6 +97,15 @@ class COCOMaskAPEvaluator:
     def reset(self):
         self._entries = defaultdict(list)  # cat -> list of per-image records
 
+    def state_dict(self):
+        return dict(self._entries)
+
+    def merge_state(self, state):
+        """Fold another process's accumulated records in (multi-host eval,
+        reference: ytvis_eval.py:120-126 comm.gather)."""
+        for c, recs in state.items():
+            self._entries[c].extend(recs)
+
     def process(self, pred: Dict, gt: Dict):
         scores = np.asarray(pred["scores"])
         labels = np.asarray(pred["labels"])

@@ -32,6 +32,31 @@ def inference_on_dataset(
     return evaluate_fn()
 
 
+def gather_evaluator(ev):
+    """Merge evaluator state across hosts before evaluate() (reference:
+    ytvis_eval.py:120-126 comm.gather / d2 comm.synchronize). Each process
+    pickles its `state_dict()`, all-gathers the padded byte payloads over
+    the ICI/DCN fabric, and folds every other process's state in via
+    `merge_state`. No-op in single-process runs."""
+    if jax.process_count() == 1:
+        return ev
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(ev.state_dict()), np.uint8)
+    sizes = multihost_utils.process_allgather(np.array([payload.size]))
+    maxlen = int(np.max(sizes))
+    padded = np.zeros(maxlen, np.uint8)
+    padded[: payload.size] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    ev.reset()
+    for i in range(gathered.shape[0]):
+        size = int(np.asarray(sizes).reshape(-1)[i])
+        ev.merge_state(pickle.loads(bytes(gathered[i][:size])))
+    return ev
+
+
 def verify_results(expected: Dict[str, float], results: Dict[str, float],
                    tolerance: float = 0.3) -> bool:
     """Assert metric parity against expected numbers (reference: detectron2

@@ -27,6 +27,15 @@ class PanopticEvaluator:
         self._fp = np.zeros(self.num_classes, np.int64)
         self._fn = np.zeros(self.num_classes, np.int64)
 
+    def state_dict(self):
+        return {"iou": self._iou, "tp": self._tp, "fp": self._fp, "fn": self._fn}
+
+    def merge_state(self, state):
+        self._iou += state["iou"]
+        self._tp += state["tp"]
+        self._fp += state["fp"]
+        self._fn += state["fn"]
+
     def process(
         self,
         pred_map: np.ndarray,

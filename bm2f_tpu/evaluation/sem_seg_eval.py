@@ -18,6 +18,12 @@ class SemSegEvaluator:
     def reset(self):
         self._conf = np.zeros((self.num_classes, self.num_classes), np.int64)
 
+    def state_dict(self):
+        return self._conf
+
+    def merge_state(self, state):
+        self._conf += state
+
     def process(self, pred: np.ndarray, gt: np.ndarray):
         """pred, gt: (H, W) int class maps."""
         pred = np.asarray(pred).reshape(-1)

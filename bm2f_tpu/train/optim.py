@@ -43,6 +43,10 @@ def _is_backbone(path_s: str) -> bool:
 
 
 def make_lr_schedule(cfg: OptimizerConfig):
+    """WarmupMultiStep (COCO/YTVIS) or WarmupPolyLR (ADE20K/Cityscapes/
+    Mapillary semantic configs; d2 WarmupPolyLR semantics: base_lr *
+    (1 - step/max_iter)^power, floored at constant_ending * base_lr —
+    Base-ADE20K-SemanticSegmentation.yaml:27-31)."""
     steps = jnp.asarray(cfg.steps) if cfg.steps else jnp.zeros((0,))
 
     def schedule(step):
@@ -53,7 +57,13 @@ def make_lr_schedule(cfg: OptimizerConfig):
             * step / jnp.maximum(cfg.warmup_iters, 1),
             1.0,
         )
-        decay = cfg.gamma ** jnp.sum(step >= steps)
+        if cfg.lr_schedule == "poly":
+            frac = jnp.clip(step / max(cfg.max_iter, 1), 0.0, 1.0)
+            decay = jnp.maximum(
+                (1.0 - frac) ** cfg.poly_power, cfg.poly_constant_ending
+            )
+        else:
+            decay = cfg.gamma ** jnp.sum(step >= steps)
         return cfg.base_lr * warm * decay
 
     return schedule

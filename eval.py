@@ -1,35 +1,76 @@
 #!/usr/bin/env python
 """Evaluation entry point (reference: train_net.py --eval-only ->
-Trainer.test -> inference_on_dataset). Runs the jitted model + inference
-heads over a test loader and the native evaluators."""
+Trainer.test -> inference_on_dataset). Dispatches on the dataset's
+`evaluator_type` like the reference's build_evaluator (train_net.py:68-148):
+
+  coco               -> instance mask AP       (COCOMaskAPEvaluator)
+  sem_seg            -> semantic mIoU          (SemSegEvaluator)
+  coco_panoptic_seg  -> panoptic PQ/SQ/RQ      (PanopticEvaluator)
+
+Runs the jitted model + inference heads over a test loader (images padded
+to one of a few static buckets — one XLA compile per bucket) and the
+native evaluators; merges evaluator state across hosts before scoring."""
 
 from __future__ import annotations
 
 import argparse
-from functools import partial
 
 
-def run_eval(cfg, model, variables, dataset_name: str, max_images: int = 0,
-             short_edge: int = 800, max_size: int = 1333, bucket: int = 1344):
+def _predict_raw(cfg, model, variables):
+    """Jitted model forward -> (pred_logits, pred_masks) (one compile per
+    input bucket)."""
+    import jax
+
+    from bm2f_tpu.models.maskformer import normalize_images
+
+    @jax.jit
+    def predict(images):
+        out = model.apply(variables, normalize_images(images, cfg.model))
+        return out["pred_logits"], out["pred_masks"]
+
+    return predict
+
+
+def _build_loader(cfg, dataset_name, short_edge, max_size, bucket,
+                  rank=0, world_size=1, carry_dict=False):
+    from bm2f_tpu.data import build_test_loader
+    from bm2f_tpu.data.mappers import EvalMapper
+
+    base = EvalMapper(short_edge=short_edge, max_size=max_size,
+                      bucket=bucket, pad_value=cfg.model.pixel_mean)
+    if carry_dict:
+        # keep the raw dataset dict with each sample (collate passes
+        # non-array values through as ragged lists) so GT lookup does not
+        # depend on image_id being present
+        def mapper(dd):
+            s = base(dd)
+            s["_dd"] = dd
+            return s
+    else:
+        mapper = base
+    return build_test_loader(dataset_name, mapper, batch_size=1,
+                             rank=rank, world_size=world_size)
+
+
+def eval_instance(cfg, model, variables, dataset_name: str, max_images: int = 0,
+                  short_edge: int = 800, max_size: int = 1333,
+                  bucket=(704, 960, 1344), rank: int = 0, world_size: int = 1):
+    """Instance mask AP (reference inference: maskformer_model.py:573-623)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from bm2f_tpu.data import DatasetCatalog, MetadataCatalog, build_test_loader
-    from bm2f_tpu.data.mappers import EvalMapper, read_image
+    from bm2f_tpu.data import DatasetCatalog
     from bm2f_tpu.data.mask_ops import segmentation_to_mask
-    from bm2f_tpu.evaluation.coco_eval import COCOMaskAPEvaluator
     from bm2f_tpu.data.transforms import resize_bilinear_np
-    from bm2f_tpu.models.maskformer import (
-        instance_topk_select, normalize_images,
-    )
+    from bm2f_tpu.evaluation.coco_eval import COCOMaskAPEvaluator
+    from bm2f_tpu.evaluation.evaluator import gather_evaluator
+    from bm2f_tpu.models.maskformer import instance_topk_select, normalize_images
     from bm2f_tpu.ops import resize_bilinear
 
-    meta = MetadataCatalog.get(dataset_name)
     num_classes = cfg.model.num_classes
-    mapper = EvalMapper(short_edge=short_edge, max_size=max_size, bucket=bucket,
-                        pad_value=cfg.model.pixel_mean)
-    loader = build_test_loader(dataset_name, mapper, batch_size=1)
+    loader = _build_loader(cfg, dataset_name, short_edge, max_size, bucket,
+                           rank, world_size)
 
     @jax.jit
     def predict(images):
@@ -91,9 +132,215 @@ def run_eval(cfg, model, variables, dataset_name: str, max_images: int = 0,
             n += 1
         if max_images and n >= max_images:
             break
-    res = evaluator.evaluate()
+    res = gather_evaluator(evaluator).evaluate()
     print({k: round(v, 2) for k, v in res.items()})
     return res
+
+
+def eval_semantic(cfg, model, variables, dataset_name: str, max_images: int = 0,
+                  short_edge: int = 512, max_size: int = 2048,
+                  bucket=(512, 768, 1024), tta: bool = False,
+                  rank: int = 0, world_size: int = 1):
+    """Semantic mIoU (reference: semantic_inference maskformer_model.py:509-513
+    + d2 SemSegEvaluator, train_net.py:78-86).
+
+    Class probabilities are computed at the prediction stride and resized to
+    the original image size on the host (the reference upsamples logits to
+    the padded size first; bilinear resizes compose, so only sub-pixel
+    interpolation details differ). With --tta, multi-scale + flip ensembling
+    (test_time_augmentation.py:21) replaces the single-scale path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bm2f_tpu.data import DatasetCatalog, MetadataCatalog
+    from bm2f_tpu.data.mappers import read_image
+    from bm2f_tpu.data.transforms import resize_bilinear_np
+    from bm2f_tpu.evaluation import SemSegEvaluator
+    from bm2f_tpu.evaluation.evaluator import gather_evaluator
+    from bm2f_tpu.models.maskformer import semantic_inference
+
+    meta = MetadataCatalog.get(dataset_name)
+    num_classes = cfg.model.num_classes
+    ignore_label = getattr(meta, "ignore_label", 255)
+    evaluator = SemSegEvaluator(num_classes, ignore_label=ignore_label)
+
+    predict = _predict_raw(cfg, model, variables)
+
+    if tta:
+        from bm2f_tpu.models.tta import semantic_tta
+
+        n = 0
+        for dd in DatasetCatalog.get(dataset_name):
+            img = dd.get("image")
+            if img is None:
+                img = read_image(dd["file_name"])
+            sem = semantic_tta(predict, jnp.asarray(img, jnp.float32))
+            pred = np.asarray(jnp.argmax(sem, -1))
+            evaluator.process(pred, _load_sem_gt(dd))
+            n += 1
+            if max_images and n >= max_images:
+                break
+        res = gather_evaluator(evaluator).evaluate()
+        print({k: round(v, 2) for k, v in res.items()})
+        return res
+
+    loader = _build_loader(cfg, dataset_name, short_edge, max_size, bucket,
+                           rank, world_size, carry_dict=True)
+
+    @jax.jit
+    def predict_sem(images):
+        logits, masks = predict(images)
+        # (B, h4, w4, K) class probabilities at prediction stride
+        return jax.vmap(semantic_inference)(logits, masks)
+
+    n = 0
+    for batch in loader:
+        sem_b = np.asarray(predict_sem(jnp.asarray(batch["images"])),
+                           np.float32)
+        stride = batch["images"].shape[1] / sem_b.shape[1]
+        for i in range(sem_b.shape[0]):
+            nh, nw = batch["resized_hw"][i]
+            oh, ow = batch["orig_hw"][i]
+            h4 = max(int(round(nh / stride)), 1)
+            w4 = max(int(round(nw / stride)), 1)
+            probs = resize_bilinear_np(
+                sem_b[i, :h4, :w4].transpose(2, 0, 1), oh, ow)
+            pred = probs.argmax(0)
+            evaluator.process(pred, _load_sem_gt(batch["_dd"][i]))
+            n += 1
+        if max_images and n >= max_images:
+            break
+    res = gather_evaluator(evaluator).evaluate()
+    print({k: round(v, 2) for k, v in res.items()})
+    return res
+
+
+def _load_sem_gt(dd):
+    import numpy as np
+
+    if dd.get("sem_seg") is not None:
+        return np.asarray(dd["sem_seg"])
+    from PIL import Image
+
+    with Image.open(dd["sem_seg_file_name"]) as im:
+        return np.asarray(im)
+
+
+def eval_panoptic(cfg, model, variables, dataset_name: str, max_images: int = 0,
+                  short_edge: int = 800, max_size: int = 1333,
+                  bucket=(704, 960, 1344), rank: int = 0, world_size: int = 1):
+    """Panoptic PQ/SQ/RQ (reference: panoptic_inference
+    maskformer_model.py:515-571 + d2 COCOPanopticEvaluator).
+
+    Fusion runs on device at the padded bucket size with padding pixels
+    masked out (logits forced to -1e9 beyond the resized region, so areas
+    and overlap pruning see only real pixels, like the reference's
+    crop-before-fusion); the fused query-id map is then cropped and
+    nearest-resized to the original size on the host and relabeled to
+    contiguous segment ids."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bm2f_tpu.data import MetadataCatalog
+    from bm2f_tpu.data.panoptic_io import read_panoptic_png
+    from bm2f_tpu.evaluation import PanopticEvaluator
+    from bm2f_tpu.evaluation.evaluator import gather_evaluator
+    from bm2f_tpu.evaluation.panoptic_post import relabel_panoptic
+    from bm2f_tpu.models.maskformer import panoptic_inference
+    from bm2f_tpu.ops import resize_bilinear
+
+    meta = MetadataCatalog.get(dataset_name)
+    num_classes = cfg.model.num_classes
+    stuff_map = getattr(meta, "stuff_dataset_id_to_contiguous_id", {})
+    thing_map = getattr(meta, "thing_dataset_id_to_contiguous_id", {})
+    thing_ids = set(thing_map.values())
+    thing_mask = tuple(c in thing_ids for c in range(num_classes))
+
+    evaluator = PanopticEvaluator(num_classes, thing_mask)
+    predict = _predict_raw(cfg, model, variables)
+
+    @jax.jit
+    def predict_pan(images, valid_hw):
+        logits, masks = predict(images)
+        H, W = images.shape[1], images.shape[2]
+
+        def one(cls, m, vhw):
+            mf = resize_bilinear(m.transpose(1, 2, 0), H, W).transpose(2, 0, 1)
+            yy = jnp.arange(H)[:, None] < vhw[0]
+            xx = jnp.arange(W)[None, :] < vhw[1]
+            mf = jnp.where(yy & xx, mf, -1e9)
+            return panoptic_inference(
+                cls, mf, num_classes=num_classes, thing_mask=thing_mask,
+                object_mask_threshold=cfg.model.test.object_mask_threshold,
+                overlap_threshold=cfg.model.test.overlap_threshold,
+            )
+
+        return jax.vmap(one)(logits, masks, valid_hw)
+
+    n = 0
+    loader = _build_loader(cfg, dataset_name, short_edge, max_size, bucket,
+                           rank, world_size, carry_dict=True)
+    for batch in loader:
+        valid_hw = jnp.asarray(np.stack(batch["resized_hw"]))
+        pan_b = jax.tree.map(
+            np.asarray,
+            predict_pan(jnp.asarray(batch["images"]), valid_hw),
+        )
+        for i in range(valid_hw.shape[0]):
+            nh, nw = batch["resized_hw"][i]
+            oh, ow = batch["orig_hw"][i]
+            pan = {k: v[i] for k, v in pan_b.items()}
+            seg_map, segments = relabel_panoptic(pan)
+            # crop + nearest resize of the categorical id map to orig size
+            crop = seg_map[:nh, :nw]
+            ys = (np.arange(oh) * nh / oh).astype(np.int64)
+            xs = (np.arange(ow) * nw / ow).astype(np.int64)
+            pred_map = crop[ys[:, None], xs[None, :]].astype(np.int64) - 1
+            # evaluator wants -1 = void; relabel used 0 = void, ids from 1
+            pred_segments = [
+                {"id": s["id"] - 1, "category_id": s["category_id"]}
+                for s in segments
+            ]
+
+            dd = batch["_dd"][i]
+            gt_png = dd.get("pan_seg")
+            if gt_png is None:
+                gt_png = read_panoptic_png(dd["pan_seg_file_name"])
+            gt_map = gt_png.astype(np.int64) - 1  # png id 0 = void -> -1
+            gt_segments = [
+                {"id": s["id"] - 1, "category_id": s["category_id"],
+                 "iscrowd": s.get("iscrowd", 0)}
+                for s in dd["segments_info"]
+            ]
+            evaluator.process(pred_map, pred_segments, gt_map, gt_segments)
+            n += 1
+        if max_images and n >= max_images:
+            break
+    res = gather_evaluator(evaluator).evaluate()
+    print({k: round(v, 2) for k, v in res.items()})
+    return res
+
+
+def run_eval(cfg, model, variables, dataset_name: str, max_images: int = 0,
+             short_edge: int = 800, max_size: int = 1333,
+             bucket=(704, 960, 1344), tta: bool = False,
+             rank: int = 0, world_size: int = 1):
+    """Evaluator dispatch on the dataset's evaluator_type (reference:
+    train_net.py:68-148 build_evaluator)."""
+    from bm2f_tpu.data import MetadataCatalog
+
+    etype = getattr(MetadataCatalog.get(dataset_name), "evaluator_type", "coco")
+    if etype == "sem_seg":
+        return eval_semantic(cfg, model, variables, dataset_name, max_images,
+                             min(short_edge, 1024), max_size, bucket, tta,
+                             rank, world_size)
+    if etype == "coco_panoptic_seg":
+        return eval_panoptic(cfg, model, variables, dataset_name, max_images,
+                             short_edge, max_size, bucket, rank, world_size)
+    return eval_instance(cfg, model, variables, dataset_name, max_images,
+                         short_edge, max_size, bucket, rank, world_size)
 
 
 def main():
@@ -102,6 +349,8 @@ def main():
     ap.add_argument("--dataset", required=True)
     ap.add_argument("--weights", default="", help="orbax checkpoint dir or d2 .pkl/.pth")
     ap.add_argument("--max-images", type=int, default=0)
+    ap.add_argument("--tta", action="store_true",
+                    help="multi-scale + flip ensembling (semantic only)")
     args = ap.parse_args()
 
     import jax
@@ -133,7 +382,9 @@ def main():
 
         variables = Checkpointer(args.weights).restore_variables()
 
-    run_eval(cfg, model, variables, args.dataset, args.max_images)
+    run_eval(cfg, model, variables, args.dataset, args.max_images,
+             tta=args.tta, rank=jax.process_index(),
+             world_size=jax.process_count())
 
 
 if __name__ == "__main__":

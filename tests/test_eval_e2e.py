@@ -1,6 +1,7 @@
-"""End-to-end eval smoke test: synthetic COCO dataset -> run_eval -> AP keys.
-Uses a tiny model; mainly validates the eval wiring (device topk + host
-resize/rescoring + evaluator)."""
+"""End-to-end eval smoke tests: synthetic datasets -> run_eval dispatch
+(instance AP / semantic mIoU / panoptic PQ, reference train_net.py:68-148)
+-> metric keys. Uses tiny models; mainly validates the eval wiring
+(device inference + host postprocess + evaluator + bucketing)."""
 
 import numpy as np
 import pytest
@@ -8,7 +9,31 @@ import pytest
 import jax
 
 from bm2f_tpu.config import get_config
-from bm2f_tpu.data.catalog import DatasetCatalog
+from bm2f_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+
+
+def _tiny_cfg(preset="coco_instance_r50", **extra):
+    over = {
+        "model.decoder.dec_layers": 1,
+        "model.decoder.num_queries": 8,
+        "model.pixel_decoder.transformer_enc_layers": 1,
+        "model.num_classes": 5,
+    }
+    over.update(extra)
+    return get_config(preset, over)
+
+
+def _tiny_model(cfg):
+    import jax.numpy as jnp
+
+    from bm2f_tpu.models import build_model
+    from bm2f_tpu.models.maskformer import normalize_images
+
+    model = build_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), normalize_images(jnp.zeros((1, 64, 64, 3)), cfg.model)
+    )
+    return model, variables
 
 
 @pytest.mark.slow
@@ -85,3 +110,158 @@ def test_run_video_eval_synthetic():
     res = run_video_eval(cfg, model, variables, name, short_edge=48,
                          bucket=64, max_frames=3)
     assert "AP" in res and np.isfinite(res["AP"])
+
+
+def _register(name, fn, **meta):
+    if name in DatasetCatalog:
+        DatasetCatalog.remove(name)
+    DatasetCatalog.register(name, fn)
+    if meta:
+        MetadataCatalog.get(name).set(**meta)
+
+
+@pytest.mark.slow
+def test_run_eval_semantic_dispatch():
+    """run_eval dispatches on evaluator_type=sem_seg and returns mIoU."""
+    from eval import run_eval
+
+    rng = np.random.RandomState(0)
+    dicts = []
+    for i in range(2):
+        img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        sem = rng.randint(0, 5, (96, 128)).astype(np.int32)
+        sem[:8] = 255  # ignore strip
+        dicts.append({"image": img, "sem_seg": sem, "image_id": i,
+                      "height": 96, "width": 128})
+    name = "bm2f_eval_sem_synth"
+    _register(name, lambda: dicts, evaluator_type="sem_seg", ignore_label=255)
+
+    cfg = _tiny_cfg()
+    model, variables = _tiny_model(cfg)
+    res = run_eval(cfg, model, variables, name, short_edge=96, max_size=160,
+                   bucket=160)
+    assert "mIoU" in res and np.isfinite(res["mIoU"])
+    assert "pACC" in res
+
+
+@pytest.mark.slow
+def test_run_eval_panoptic_dispatch():
+    """run_eval dispatches on evaluator_type=coco_panoptic_seg; PQ keys."""
+    from eval import run_eval
+
+    rng = np.random.RandomState(1)
+    dicts = []
+    for i in range(2):
+        img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        pan = np.zeros((96, 128), np.uint32)
+        pan[10:50, 10:60] = 1
+        pan[50:90, 60:120] = 2
+        dicts.append({
+            "image": img, "pan_seg": pan, "image_id": i,
+            "height": 96, "width": 128,
+            "segments_info": [
+                {"id": 1, "category_id": 0, "iscrowd": 0, "isthing": True},
+                {"id": 2, "category_id": 3, "iscrowd": 0, "isthing": False},
+            ],
+        })
+    name = "bm2f_eval_pan_synth"
+    _register(name, lambda: dicts, evaluator_type="coco_panoptic_seg",
+              thing_dataset_id_to_contiguous_id={1: 0, 2: 1},
+              stuff_dataset_id_to_contiguous_id={3: 2, 4: 3, 5: 4})
+
+    cfg = _tiny_cfg()
+    model, variables = _tiny_model(cfg)
+    res = run_eval(cfg, model, variables, name, short_edge=96, max_size=160,
+                   bucket=160)
+    for k in ("PQ", "SQ", "RQ", "PQ_th", "PQ_st"):
+        assert k in res and np.isfinite(res[k])
+
+
+def test_eval_mapper_bucket_selection():
+    """Multi-bucket padding picks the smallest bucket that fits (kills the
+    pad-everything-to-1344 waste; bounded compiles, one per bucket)."""
+    from bm2f_tpu.data.mappers import EvalMapper
+
+    m = EvalMapper(short_edge=480, max_size=1333, bucket=(512, 704, 1344),
+                   pad_value=(0.0, 0.0, 0.0))
+    img_small = (np.zeros((480, 640, 3))).astype(np.uint8)   # 480x640 -> 704
+    img_wide = (np.zeros((480, 1300, 3))).astype(np.uint8)   # long side caps
+    s1 = m({"image": img_small, "image_id": 0})
+    assert s1["images"].shape == (704, 704, 3)
+    s2 = m({"image": img_wide, "image_id": 1})
+    assert s2["images"].shape[0] == s2["images"].shape[1]
+    assert s2["images"].shape[0] in (512, 704, 1344)
+    # int bucket still accepted (back-compat)
+    m2 = EvalMapper(short_edge=96, max_size=160, bucket=160,
+                    pad_value=(0.0, 0.0, 0.0))
+    s3 = m2({"image": np.zeros((96, 128, 3), np.uint8), "image_id": 2})
+    assert s3["images"].shape == (160, 160, 3)
+
+
+def test_evaluator_merge_state():
+    """Cross-host gather building block: merging two evaluators' states
+    equals processing everything in one (reference: ytvis_eval.py:120-126)."""
+    from bm2f_tpu.evaluation import (
+        COCOMaskAPEvaluator, PanopticEvaluator, SemSegEvaluator,
+    )
+
+    rng = np.random.RandomState(0)
+    # SemSeg: conf matrices add
+    a, b, c = (SemSegEvaluator(3) for _ in range(3))
+    g1, p1 = rng.randint(0, 3, (8, 8)), rng.randint(0, 3, (8, 8))
+    g2, p2 = rng.randint(0, 3, (8, 8)), rng.randint(0, 3, (8, 8))
+    a.process(p1, g1); b.process(p2, g2)
+    c.process(p1, g1); c.process(p2, g2)
+    a.merge_state(b.state_dict())
+    assert a.evaluate() == c.evaluate()
+
+    # COCO AP: entry lists concatenate
+    def mk_pred(seed):
+        r = np.random.RandomState(seed)
+        masks = r.rand(4, 16, 16) > 0.5
+        return ({"scores": r.rand(4), "labels": r.randint(0, 3, 4),
+                 "masks": masks, "valid": np.ones(4, bool)},
+                {"labels": r.randint(0, 3, 2), "masks": r.rand(2, 16, 16) > 0.5,
+                 "iscrowd": np.zeros(2, bool)})
+    a, b, c = (COCOMaskAPEvaluator(3) for _ in range(3))
+    pr1, gt1 = mk_pred(1); pr2, gt2 = mk_pred(2)
+    a.process(pr1, gt1); b.process(pr2, gt2)
+    c.process(pr1, gt1); c.process(pr2, gt2)
+    a.merge_state(b.state_dict())
+    assert a.evaluate() == c.evaluate()
+
+    # Panoptic: count arrays add
+    a, b, c = (PanopticEvaluator(3, (True, False, False)) for _ in range(3))
+    m1 = np.zeros((8, 8), np.int64); m1[:4] = 0; m1[4:] = 1
+    segs = [{"id": 0, "category_id": 0}, {"id": 1, "category_id": 2}]
+    a.process(m1, segs, m1, segs)
+    b.process(m1, segs, 1 - m1, segs[::-1])
+    c.process(m1, segs, m1, segs)
+    c.process(m1, segs, 1 - m1, segs[::-1])
+    a.merge_state(b.state_dict())
+    assert a.evaluate() == c.evaluate()
+
+
+@pytest.mark.slow
+def test_semantic_tta_ensemble():
+    """semantic_tta averages per-scale/flip probabilities into an
+    original-size (H, W, K) map (test_time_augmentation.py:21 analogue)."""
+    import jax.numpy as jnp
+
+    from bm2f_tpu.models.tta import semantic_tta
+
+    cfg = _tiny_cfg()
+    model, variables = _tiny_model(cfg)
+    from bm2f_tpu.models.maskformer import normalize_images
+
+    @jax.jit
+    def predict(images):
+        out = model.apply(variables, normalize_images(images, cfg.model))
+        return out["pred_logits"], out["pred_masks"]
+
+    img = jnp.asarray(np.random.RandomState(0).rand(96, 128, 3) * 255,
+                      jnp.float32)
+    sem = semantic_tta(predict, img, scales=(0.75, 1.0), flip=True)
+    assert sem.shape == (96, 128, cfg.model.num_classes)
+    assert bool(jnp.all(jnp.isfinite(sem)))
+    assert float(sem.min()) >= 0.0

@@ -36,6 +36,69 @@ def test_lr_schedule_warmup_and_steps():
     assert abs(float(sched(250)) - 0.01) < 1e-6
 
 
+def test_lr_schedule_poly():
+    """WarmupPolyLR (d2 semantics: base * (1 - t/T)^0.9, no warmup in the
+    semantic configs — Base-ADE20K-SemanticSegmentation.yaml:27-31)."""
+    from bm2f_tpu.config import OptimizerConfig
+
+    oc = OptimizerConfig(base_lr=1.0, warmup_iters=0, lr_schedule="poly",
+                         max_iter=1000, poly_power=0.9)
+    sched = make_lr_schedule(oc)
+    assert abs(float(sched(0)) - 1.0) < 1e-6
+    assert abs(float(sched(500)) - 0.5 ** 0.9) < 1e-6
+    assert float(sched(1000)) == 0.0
+    # constant ending floors the decay
+    oc2 = OptimizerConfig(base_lr=1.0, warmup_iters=0, lr_schedule="poly",
+                          max_iter=1000, poly_power=0.9,
+                          poly_constant_ending=0.05)
+    assert abs(float(make_lr_schedule(oc2)(999)) - 0.05) < 1e-6
+
+
+def test_preset_catalog_matches_reference_yamls():
+    """Spot-check preset fields against the reference configs tree
+    (field-for-field per VERDICT round-1 item 5)."""
+    from bm2f_tpu.config import PRESETS
+
+    assert len(PRESETS) >= 60
+    ade = get_config("ade20k_semantic_r50")
+    # Base-ADE20K-SemanticSegmentation.yaml
+    assert ade.train.optimizer.lr_schedule == "poly"
+    assert ade.train.optimizer.max_iter == 160000
+    assert ade.train.optimizer.warmup_iters == 0
+    assert ade.input.short_edge_choices == tuple(
+        int(x * 0.1 * 512) for x in range(5, 21))
+    assert ade.input.max_size_train == 2048
+    assert ade.input.color_aug_ssd and ade.input.image_size == 512
+    assert ade.model.num_classes == 150
+
+    city = get_config("cityscapes_semantic_r50")
+    # Base-Cityscapes-SemanticSegmentation.yaml: 90k poly, (512,1024) crop
+    assert city.train.optimizer.max_iter == 90000
+    assert (city.input.image_size, city.input.crop_width) == (512, 1024)
+    assert city.input.short_edge_choices[0] == 512  # 0.5 * 1024
+    assert city.model.num_classes == 19
+    assert get_config("cityscapes_instance_r50").model.num_classes == 8
+
+    swin_l = get_config("coco_instance_swin_l")
+    # swin/maskformer2_swin_large_IN21k_384_bs16_100ep.yaml
+    assert swin_l.model.decoder.num_queries == 200
+    assert swin_l.train.optimizer.max_iter == 737500
+    assert swin_l.model.backbone.swin.window_size == 12
+    assert get_config("coco_instance_swin_t").model.backbone.swin.depths == (
+        2, 2, 6, 2)
+
+    weak = get_config("ytvis2021_video_r50_proj_spatpair")
+    # youtubevis_2021/video_maskformer2_R50_bs16_8k_proj_spatpair.yaml
+    assert weak.model.loss.sup_type == "mask_projection_and_spatial_pairwise"
+    assert weak.model.loss.weak.pairwise_weight == 2.0
+    assert weak.train.ims_per_batch == 8
+    assert weak.train.optimizer.base_lr == 5e-5
+
+    mp = get_config("mapillary_panoptic_r50")
+    assert mp.train.optimizer.max_iter == 300000
+    assert mp.model.num_classes == 65
+
+
 def test_optimizer_groups_backbone_and_decay():
     params = {
         "backbone": {"conv": {"kernel": jnp.ones((4, 4))}},

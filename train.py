@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import ast
 import os
+import time
 
 
 def parse_overrides(pairs):
@@ -38,10 +39,17 @@ def main():
     ap.add_argument("--wandb", action="store_true")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of steps 10-15")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host SPMD: jax.distributed.initialize() from "
+                         "the cluster env (reference: d2 launch/DDP, "
+                         "train_net.py:305-335); loaders shard per host")
     ap.add_argument("opts", nargs="*", help="config overrides key=value")
     args = ap.parse_args()
 
     import jax
+
+    if args.distributed:
+        jax.distributed.initialize()
     import jax.numpy as jnp
     import numpy as np
 
@@ -73,8 +81,12 @@ def main():
         mapper_name = "ytvis_with_feats"
     mapper_cls = MAPPERS[mapper_name]
     mapper = mapper_cls(cfg.input, seed=cfg.train.seed)
+    # per-host data sharding: each process loads its slice of the global
+    # batch (reference: d2 per-GPU DataLoader shards)
+    rank, world = jax.process_index(), jax.process_count()
     loader = build_train_loader(
-        args.dataset, mapper, cfg.train.ims_per_batch, seed=cfg.train.seed
+        args.dataset, mapper, cfg.train.ims_per_batch // world,
+        seed=cfg.train.seed, rank=rank, world_size=world,
     )
 
     first = next(loader)
@@ -89,7 +101,8 @@ def main():
 
         run_eval(cfg, trainer.model,
                  {"params": state.params, "frozen": state.frozen},
-                 args.eval_dataset or args.dataset)
+                 args.eval_dataset or args.dataset,
+                 rank=jax.process_index(), world_size=jax.process_count())
         return
 
     step_fn = trainer.compile_step(state)
@@ -103,9 +116,13 @@ def main():
     if args.wandb:
         writers.append(WandBWriter())
 
+    from bm2f_tpu.train.optim import make_lr_schedule
+
+    lr_sched = make_lr_schedule(cfg.train.optimizer)
     max_iter = cfg.train.optimizer.max_iter
     batch = first
     it = int(state.step)
+    t_start, it_start = time.time(), it
     while it < max_iter:
         if args.profile and it == 10:
             jax.profiler.start_trace(os.path.join(args.output, "profile"))
@@ -119,11 +136,30 @@ def main():
         if args.profile and it == 15:
             jax.profiler.stop_trace()
         it = int(state.step)
-        storage.put_scalars(it, **{k: float(v) for k, v in metrics.items()})
+        scalars = {k: float(v) for k, v in metrics.items()}
+        scalars["lr"] = float(lr_sched(it))
+        if it > it_start:
+            s_per_it = (time.time() - t_start) / (it - it_start)
+            scalars["eta_hours"] = s_per_it * (max_iter - it) / 3600.0
+        storage.put_scalars(it, **scalars)
         for w in writers:
             w.write(storage)
         if it % cfg.train.checkpoint_period == 0:
             ckpt.save(it, state)
+        # periodic in-training evaluation (reference: d2 EvalHook at
+        # TEST.EVAL_PERIOD, train_net.py:68-148 evaluator dispatch)
+        if (cfg.train.eval_period and args.eval_dataset
+                and it % cfg.train.eval_period == 0 and it < max_iter):
+            from eval import run_eval  # noqa: local CLI module
+
+            eval_res = run_eval(
+                cfg, trainer.model,
+                {"params": jax.device_get(state.params),
+                 "frozen": jax.device_get(state.frozen)},
+                args.eval_dataset, rank=rank, world_size=world,
+            )
+            storage.put_scalars(it, **{f"eval/{k}": float(v)
+                                       for k, v in eval_res.items()})
         batch = next(loader)
 
     ckpt.save(it, state, force=True)

@@ -63,10 +63,38 @@ def register_sem_seg_folder(name: str, image_dir: str, gt_dir: str,
     )
 
 
-def register_all_builtin_datasets(root: Optional[str] = None) -> None:
-    """Idempotent; silently skips splits whose files are absent."""
+def register_coco_panoptic_with_sem_seg(name: str, json_file: str,
+                                        image_root: str, panoptic_root: str,
+                                        sem_seg_root: str):
+    """Panoptic dicts augmented with derived semantic pngs so one dataset
+    serves panoptic, instance, and semantic training/eval (reference:
+    register_coco_panoptic_annos_semseg.py:75-160)."""
+    from bm2f_tpu.data.coco import load_coco_panoptic_json
+
+    def load():
+        dicts = load_coco_panoptic_json(
+            json_file, image_root, panoptic_root, name)
+        for d in dicts:
+            png = os.path.basename(d["pan_seg_file_name"])
+            d["sem_seg_file_name"] = os.path.join(sem_seg_root, png)
+        return dicts
+
+    DatasetCatalog.register(name, load)
+    MetadataCatalog.get(name).set(
+        evaluator_type="coco_panoptic_seg",
+        sem_seg_root=sem_seg_root,
+        panoptic_root=panoptic_root,
+        image_root=image_root,
+        ignore_label=255,
+    )
+
+
+def register_all_builtin_datasets(root: Optional[str] = None,
+                                  force: bool = False) -> None:
+    """Idempotent; silently skips splits whose files are absent. `force`
+    re-registers (tests pointing at synthetic roots)."""
     global _REGISTERED
-    if _REGISTERED:
+    if _REGISTERED and not force:
         return
     _REGISTERED = True
     root = root or _root()
@@ -97,6 +125,19 @@ def register_all_builtin_datasets(root: Optional[str] = None) -> None:
                 j("coco", f"{split}2017"),
                 j("coco", f"panoptic_{split}2017"),
             )
+            # panoptic annotations + derived per-pixel semantic pngs
+            # (reference: register_coco_panoptic_annos_semseg.py:129-160;
+            # pngs produced by tools/prepare_coco_semantic_annos_from_
+            # panoptic_annos.py)
+            semseg_dir = j("coco", f"panoptic_semseg_{split}2017")
+            if os.path.isdir(semseg_dir):
+                register_coco_panoptic_with_sem_seg(
+                    f"coco_2017_{split}_panoptic_with_sem_seg",
+                    pj,
+                    j("coco", f"{split}2017"),
+                    j("coco", f"panoptic_{split}2017"),
+                    semseg_dir,
+                )
 
     # ---- ADE20K ----
     ade = j("ADEChallengeData2016")
@@ -140,6 +181,33 @@ def register_all_builtin_datasets(root: Optional[str] = None) -> None:
                 gt_ext="_labelTrainIds.png",
             )
 
+    # ---- ADE20K-full (847 classes; reference register_ade20k_full.py:944) ----
+    ade_full = j("ADE20K_2021_17_01")
+    if os.path.isdir(ade_full):
+        for split, sdir in (("train", "training"), ("val", "validation")):
+            register_sem_seg_folder(
+                f"ade20k_full_sem_seg_{split}",
+                os.path.join(ade_full, "images_detectron2", sdir),
+                os.path.join(ade_full, "annotations_detectron2", sdir),
+                num_classes=847,
+                ignore_label=65535,  # uint16 gts; 65535 = unlabeled
+                gt_ext=".tif",
+            )
+
+    # ---- COCO-Stuff-10k (171 classes; register_coco_stuff_10k.py:200) ----
+    stuff = j("coco", "coco_stuff_10k")
+    if os.path.isdir(stuff):
+        for split, idir, gdir in (
+            ("train", "images_detectron2/train", "annotations_detectron2/train"),
+            ("test", "images_detectron2/test", "annotations_detectron2/test"),
+        ):
+            register_sem_seg_folder(
+                f"coco_2017_{split}_stuff_10k_sem_seg",
+                os.path.join(stuff, idir),
+                os.path.join(stuff, gdir),
+                num_classes=171,
+            )
+
     # ---- Mapillary Vistas semantic ----
     mv = j("mapillary_vistas")
     if os.path.isdir(mv):
@@ -151,3 +219,13 @@ def register_all_builtin_datasets(root: Optional[str] = None) -> None:
                 os.path.join(mv, split, "labels_detectron2"),
                 num_classes=65,
             )
+            # panoptic (reference register_mapillary_vistas_panoptic.py:489:
+            # panoptic_2018 json + pngs under <split>/panoptic)
+            pj = os.path.join(mv, split, "panoptic", "panoptic_2018.json")
+            if os.path.exists(pj):
+                register_coco_panoptic(
+                    f"mapillary_vistas_panoptic_{short}",
+                    pj,
+                    os.path.join(mv, split, "images"),
+                    os.path.join(mv, split, "panoptic"),
+                )

@@ -52,20 +52,44 @@ class MaskFormerHead(nn.Module):
             ed = self.cfg.backbone.swin.embed_dim
             in_channels = {"res2": ed, "res3": ed * 2, "res4": ed * 4, "res5": ed * 8}
             in_strides = RESNET_FEATURE_STRIDES
+        # pixel-decoder dispatch (reference: mask_former_head.py from_config,
+        # SEM_SEG_HEAD.PIXEL_DECODER_NAME): msdeform | transformer_fpn | fpn
+        transformer_feature = None
         if self.cfg.pixel_decoder.name == "msdeform":
             mask_features, _, ms_feats = MSDeformAttnPixelDecoder(
                 self.cfg.pixel_decoder, in_channels, in_strides,
                 dtype=pd_dtype, name="pixel_decoder",
             )(features)
+        elif self.cfg.pixel_decoder.name == "transformer_fpn":
+            from bm2f_tpu.models.maskformer_v1 import TransformerEncoderPixelDecoder
+
+            mask_features, transformer_feature, ms_feats = (
+                TransformerEncoderPixelDecoder(
+                    self.cfg.pixel_decoder, in_channels, in_strides,
+                    dtype=pd_dtype, name="pixel_decoder",
+                )(features))
         else:
             mask_features, _, ms_feats = BasePixelDecoder(
                 self.cfg.pixel_decoder, in_channels, in_strides,
                 dtype=pd_dtype, name="pixel_decoder",
             )(features)
-        out = MultiScaleMaskedTransformerDecoder(
-            self.cfg.decoder, self.cfg.num_classes, dtype=self.dtype,
-            name="predictor",
-        )([f.astype(self.dtype) for f in ms_feats], mask_features)
+        # predictor dispatch (MASK_FORMER.TRANSFORMER_DECODER_NAME):
+        # "standard" = MaskFormer-v1 DETR decoder over one feature level
+        # (the transformer-encoder output when available, else res5)
+        if self.cfg.decoder.name == "standard":
+            from bm2f_tpu.models.maskformer_v1 import StandardTransformerDecoder
+
+            x = (transformer_feature if transformer_feature is not None
+                 else features["res5"])
+            out = StandardTransformerDecoder(
+                self.cfg.decoder, self.cfg.num_classes, dtype=self.dtype,
+                name="predictor",
+            )(x.astype(self.dtype), mask_features)
+        else:
+            out = MultiScaleMaskedTransformerDecoder(
+                self.cfg.decoder, self.cfg.num_classes, dtype=self.dtype,
+                name="predictor",
+            )([f.astype(self.dtype) for f in ms_feats], mask_features)
         out["mask_features"] = mask_features
         return out
 

@@ -27,6 +27,10 @@ class StandardTransformerDecoder(nn.Module):
     cfg: DecoderConfig
     num_classes: int
     dtype: Any = jnp.float32
+    # False for PerPixelBaselinePlus: the decoder emits only per-query mask
+    # logits (reference StandardTransformerDecoder(mask_classification=False))
+    mask_classification: bool = True
+    num_queries: int = 0  # override cfg.num_queries when > 0 (baseline+)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask_features: jnp.ndarray):
@@ -34,6 +38,7 @@ class StandardTransformerDecoder(nn.Module):
         mask_features: (B, H4, W4, mask_dim)."""
         cfg = self.cfg
         C = cfg.hidden_dim
+        Q = self.num_queries or cfg.num_queries
         B, H, W, Ci = x.shape
         if Ci != C or cfg.enforce_input_project:
             x = nn.Conv(C, (1, 1), kernel_init=c2_xavier_init,
@@ -43,26 +48,28 @@ class StandardTransformerDecoder(nn.Module):
             1, H * W, C
         )
         query_embed = self.param(
-            "query_embed", nn.initializers.normal(1.0), (cfg.num_queries, C)
+            "query_embed", nn.initializers.normal(1.0), (Q, C)
         )
-        qpos = jnp.broadcast_to(query_embed[None], (B, cfg.num_queries, C)).astype(self.dtype)
-        tgt = jnp.zeros((B, cfg.num_queries, C), self.dtype)
+        qpos = jnp.broadcast_to(query_embed[None], (B, Q, C)).astype(self.dtype)
+        tgt = jnp.zeros((B, Q, C), self.dtype)
 
         hs = TransformerDecoder(
             cfg.dec_layers, C, cfg.nheads, cfg.dim_feedforward, cfg.pre_norm,
             dtype=self.dtype, name="decoder",
         )(tgt, src, pos, qpos)  # (L, B, Q, C)
 
-        logits = nn.Dense(self.num_classes + 1, kernel_init=torch_cls_init(),
-                          dtype=self.dtype, name="class_embed")(hs)
         membed = MLP(C, cfg.mask_dim, 3, dtype=self.dtype, name="mask_embed")(hs)
         masks = jnp.einsum("lbqc,bhwc->lbqhw", membed, mask_features.astype(self.dtype))
-        return {
-            "pred_logits": logits[-1].astype(jnp.float32),
+        out = {
             "pred_masks": masks[-1].astype(jnp.float32),
-            "aux_logits": logits[:-1].astype(jnp.float32),
             "aux_masks": masks[:-1].astype(jnp.float32),
         }
+        if self.mask_classification:
+            logits = nn.Dense(self.num_classes + 1, kernel_init=torch_cls_init(),
+                              dtype=self.dtype, name="class_embed")(hs)
+            out["pred_logits"] = logits[-1].astype(jnp.float32)
+            out["aux_logits"] = logits[:-1].astype(jnp.float32)
+        return out
 
 
 def torch_cls_init():
@@ -155,3 +162,38 @@ class PerPixelBaselineHead(nn.Module):
             dtype=self.dtype, name="predictor",
         )(mask_features)
         return logits.astype(jnp.float32)  # (B, H4, W4, K)
+
+
+class PerPixelBaselinePlusHead(nn.Module):
+    """Per-pixel baseline + transformer (reference:
+    per_pixel_baseline.py:127-243 PerPixelBaselinePlusHead): a
+    TransformerEncoderPixelDecoder feeds a classification-free
+    StandardTransformerDecoder whose num_queries == num_classes, so each
+    query's mask logits ARE that class's per-pixel scores; every decoder
+    layer's masks come back for deep supervision."""
+
+    cfg: PixelDecoderConfig
+    dec_cfg: DecoderConfig
+    num_classes: int
+    in_channels: Dict[str, int]
+    in_strides: Dict[str, int]
+    dtype: Any = jnp.float32
+    deep_supervision: bool = True
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray]):
+        mask_features, transformer_feature, _ = TransformerEncoderPixelDecoder(
+            self.cfg, self.in_channels, self.in_strides, dtype=self.dtype,
+            name="pixel_decoder",
+        )(features)
+        out = StandardTransformerDecoder(
+            self.dec_cfg, self.num_classes, dtype=self.dtype,
+            mask_classification=False, num_queries=self.num_classes,
+            name="predictor",
+        )(transformer_feature, mask_features)
+        # (B, K, H4, W4) -> (B, H4, W4, K) per-pixel class logits
+        logits = out["pred_masks"].transpose(0, 2, 3, 1)
+        if not self.deep_supervision:
+            return logits
+        aux = out["aux_masks"].transpose(0, 1, 3, 4, 2)  # (L-1, B, H4, W4, K)
+        return logits, aux

@@ -130,3 +130,98 @@ def test_flip_pads_land_bottom_right():
     assert out.shape[:2] == (6, 6)
     assert (out[:4, :4] == 200).all(), "content must stay top-left"
     assert (out[:, 4:] == 0).all() and (out[4:] == 0).all()
+
+
+def test_registration_breadth(tmp_path):
+    """ADE20K-full / COCO-Stuff-10k / Mapillary panoptic / COCO
+    panoptic-with-semseg register when their files exist and their dicts
+    load (reference: register_ade20k_full.py:944, register_coco_stuff_10k
+    .py:200, register_mapillary_vistas_panoptic.py:489,
+    register_coco_panoptic_annos_semseg.py:129)."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from bm2f_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    from bm2f_tpu.data.datasets.builtin import register_all_builtin_datasets
+
+    root = tmp_path
+    rng = np.random.RandomState(0)
+
+    def mkimg(path, mode="RGB", size=(16, 16)):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        arr = (rng.rand(*size, 3) * 255).astype(np.uint8) if mode == "RGB" \
+            else rng.randint(0, 5, size).astype(np.uint8)
+        Image.fromarray(arr, mode=mode if mode == "RGB" else None).save(path)
+
+    # ADE20K-full (tif gts)
+    mkimg(root / "ADE20K_2021_17_01/images_detectron2/training/a.jpg")
+    gt_dir = root / "ADE20K_2021_17_01/annotations_detectron2/training"
+    gt_dir.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(rng.randint(0, 100, (16, 16)).astype(np.uint16)).save(
+        gt_dir / "a.tif")
+    (root / "ADE20K_2021_17_01/images_detectron2/validation").mkdir(parents=True)
+    (root / "ADE20K_2021_17_01/annotations_detectron2/validation").mkdir(parents=True)
+
+    # COCO-Stuff-10k
+    mkimg(root / "coco/coco_stuff_10k/images_detectron2/train/b.jpg")
+    mkimg(root / "coco/coco_stuff_10k/annotations_detectron2/train/b.png", "L")
+    (root / "coco/coco_stuff_10k/images_detectron2/test").mkdir(parents=True)
+    (root / "coco/coco_stuff_10k/annotations_detectron2/test").mkdir(parents=True)
+
+    # COCO panoptic + derived semseg
+    pj = {"categories": [{"id": 1, "name": "thing", "isthing": 1},
+                          {"id": 2, "name": "stuff", "isthing": 0}],
+          "annotations": [{"file_name": "c.png", "image_id": 7,
+                           "segments_info": [{"id": 1, "category_id": 1,
+                                              "iscrowd": 0}]}]}
+    (root / "coco/annotations").mkdir(parents=True)
+    (root / "coco/annotations/panoptic_val2017.json").write_text(json.dumps(pj))
+    from bm2f_tpu.data.panoptic_io import write_panoptic_png
+    pan_ids = np.zeros((16, 16), np.uint32); pan_ids[4:12, 4:12] = 1
+    (root / "coco/panoptic_val2017").mkdir()
+    write_panoptic_png(str(root / "coco/panoptic_val2017/c.png"),
+                       np.asarray(pan_ids))
+    mkimg(root / "coco/panoptic_semseg_val2017/c.png", "L")
+    mkimg(root / "coco/val2017/c.jpg")
+
+    # Mapillary panoptic
+    mkimg(root / "mapillary_vistas/training/images/d.jpg")
+    (root / "mapillary_vistas/training/labels_detectron2").mkdir(parents=True)
+    (root / "mapillary_vistas/training/panoptic").mkdir(parents=True)
+    mpj = {"categories": pj["categories"],
+           "annotations": [{"file_name": "d.png", "image_id": 9,
+                            "segments_info": [{"id": 1, "category_id": 2,
+                                               "iscrowd": 0}]}]}
+    (root / "mapillary_vistas/training/panoptic/panoptic_2018.json"
+     ).write_text(json.dumps(mpj))
+    write_panoptic_png(str(root / "mapillary_vistas/training/panoptic/d.png"),
+                       np.asarray(pan_ids))
+    (root / "mapillary_vistas/validation/images").mkdir(parents=True)
+    (root / "mapillary_vistas/validation/labels_detectron2").mkdir(parents=True)
+
+    for n in ("ade20k_full_sem_seg_train", "ade20k_full_sem_seg_val",
+              "coco_2017_train_stuff_10k_sem_seg",
+              "coco_2017_test_stuff_10k_sem_seg",
+              "coco_2017_val_panoptic", "coco_2017_val_panoptic_with_sem_seg",
+              "mapillary_vistas_panoptic_train",
+              "mapillary_vistas_sem_seg_train", "mapillary_vistas_sem_seg_val"):
+        if n in DatasetCatalog:
+            DatasetCatalog.remove(n)
+    register_all_builtin_datasets(root=str(root), force=True)
+
+    d = DatasetCatalog.get("ade20k_full_sem_seg_train")
+    assert len(d) == 1 and d[0]["sem_seg_file_name"].endswith("a.tif")
+    assert MetadataCatalog.get("ade20k_full_sem_seg_train").ignore_label == 65535
+
+    d = DatasetCatalog.get("coco_2017_train_stuff_10k_sem_seg")
+    assert len(d) == 1 and d[0]["file_name"].endswith("b.jpg")
+
+    d = DatasetCatalog.get("coco_2017_val_panoptic_with_sem_seg")
+    assert len(d) == 1
+    assert d[0]["sem_seg_file_name"].endswith("panoptic_semseg_val2017/c.png")
+    assert d[0]["segments_info"][0]["category_id"] == 0  # contiguous
+
+    d = DatasetCatalog.get("mapillary_vistas_panoptic_train")
+    assert len(d) == 1 and d[0]["pan_seg_file_name"].endswith("d.png")

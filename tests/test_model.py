@@ -91,3 +91,58 @@ def test_inference_paths(model_and_vars):
     claimed = np.unique(quidx[quidx >= 0])
     # every owning query must be flagged valid
     assert all(valid[q] for q in claimed)
+
+
+def test_maskformer_v1_dispatch():
+    """MaskFormer-v1 family is reachable from the config: pixel_decoder
+    "transformer_fpn" (fpn.py:205 TransformerEncoderPixelDecoder) +
+    decoder "standard" (maskformer_transformer_decoder.py:31)."""
+    cfg = get_config("coco_instance_r50", {
+        "model.pixel_decoder.name": "transformer_fpn",
+        "model.pixel_decoder.transformer_enc_layers": 1,
+        "model.decoder.name": "standard",
+        "model.decoder.dec_layers": 2,
+        "model.decoder.num_queries": 8,
+        "model.num_classes": 5,
+    })
+    model = build_model(cfg)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), normalize_images(imgs, cfg.model))
+    # the v1 param tree must contain the encoder + DETR decoder
+    head = variables["params"]["sem_seg_head"]
+    assert "transformer" in head["pixel_decoder"]
+    assert "decoder" in head["predictor"]
+    out = model.apply(variables, normalize_images(imgs, cfg.model))
+    assert out["pred_logits"].shape == (1, 8, 6)
+    assert out["pred_masks"].shape == (1, 8, 16, 16)
+    assert out["aux_masks"].shape == (1, 1, 8, 16, 16)
+    assert np.all(np.isfinite(np.asarray(out["pred_masks"])))
+
+
+def test_per_pixel_baseline_plus_head():
+    """PerPixelBaselinePlusHead (per_pixel_baseline.py:127): per-query mask
+    logits double as per-pixel class scores; aux per decoder layer."""
+    from bm2f_tpu.config import DecoderConfig, PixelDecoderConfig
+    from bm2f_tpu.models.maskformer_v1 import PerPixelBaselinePlusHead
+
+    K = 7
+    head = PerPixelBaselinePlusHead(
+        cfg=PixelDecoderConfig(transformer_enc_layers=1),
+        dec_cfg=DecoderConfig(dec_layers=2, num_queries=999),  # overridden
+        num_classes=K,
+        in_channels={"res2": 8, "res3": 16, "res4": 32, "res5": 64},
+        in_strides={"res2": 4, "res3": 8, "res4": 16, "res5": 32},
+    )
+    feats = {
+        "res2": jnp.zeros((1, 16, 16, 8)),
+        "res3": jnp.zeros((1, 8, 8, 16)),
+        "res4": jnp.zeros((1, 4, 4, 32)),
+        "res5": jnp.zeros((1, 2, 2, 64)),
+    }
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    logits, aux = head.apply(variables, feats)
+    assert logits.shape == (1, 16, 16, K)
+    assert aux.shape == (1, 1, 16, 16, K)
+    # queries == classes (the whole point of baseline+)
+    q = variables["params"]["predictor"]["query_embed"]
+    assert q.shape[0] == K

@@ -12,9 +12,15 @@ V100; we take 2x that (~17.2 img/s) as the A100 estimate the driver's
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache (this environment ships with
+# jax_enable_compilation_cache=False; both knobs are needed)
+os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "true")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 A100_ESTIMATE_IMG_PER_S = 17.2
 

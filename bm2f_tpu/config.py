@@ -255,10 +255,11 @@ class TrainConfig:
     ims_per_batch: int = 16
     # Hungarian assignment implementation: "auto" picks the exact host LSA
     # (native C++ JV via per-shard callbacks) on backends that support host
-    # callbacks, and the on-device epsilon-optimal auction solver on ones
-    # that don't (the axon TPU runtime rejects pure_callback).
-    matcher: str = "auto"  # "auto" | "lap" | "auction"
-    auction_iters: int = 200
+    # callbacks, and the EXACT on-device batched Jonker-Volgenant solver on
+    # ones that don't (the axon TPU runtime rejects pure_callback). The
+    # epsilon-scaling auction remains as an approximate alternative.
+    matcher: str = "auto"  # "auto" | "lap" | "jv" | "auction"
+    auction_iters: int = 300  # bidding rounds per epsilon-scaling phase
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     checkpoint_period: int = 5000
     log_period: int = 20

@@ -116,8 +116,16 @@ class COCOMaskAPEvaluator:
         g_labels = np.asarray(gt["labels"])
         g_masks = np.asarray(gt["masks"])
         g_crowd = np.asarray(gt.get("iscrowd", np.zeros(len(g_labels), bool))).astype(bool)
-        g_areas = g_masks.reshape(len(g_masks), -1).sum(1) if len(g_masks) else np.zeros(0)
-        p_areas = masks.reshape(len(masks), -1).sum(1) if len(masks) else np.zeros(0)
+        # explicit areas override the mask-sum default (YTVIS tracks use
+        # mean-area-over-present-frames for the small/medium/large ranges)
+        if gt.get("areas") is not None:
+            g_areas = np.asarray(gt["areas"], np.float64)
+        else:
+            g_areas = g_masks.reshape(len(g_masks), -1).sum(1) if len(g_masks) else np.zeros(0)
+        if pred.get("areas") is not None:
+            p_areas = np.asarray(pred["areas"], np.float64)[order]
+        else:
+            p_areas = masks.reshape(len(masks), -1).sum(1) if len(masks) else np.zeros(0)
 
         for c in np.union1d(np.unique(labels), np.unique(g_labels)).astype(int):
             pi = labels == c

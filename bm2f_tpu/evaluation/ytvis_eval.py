@@ -35,15 +35,25 @@ class YTVISEvaluator(COCOMaskAPEvaluator):
                 "scores": np.asarray(pred["scores"]),
                 "labels": np.asarray(pred["labels"]),
                 "masks": p_masks.reshape(N, -1) if N else p_masks.reshape(0, 1),
+                "areas": _track_area(p_masks),
             },
             {
                 "labels": np.asarray(gt["labels"]),
                 "masks": g_masks.reshape(G, -1) if G else g_masks.reshape(0, 1),
                 "iscrowd": np.asarray(gt.get("iscrowd", np.zeros(G, bool))),
+                "areas": _track_area(g_masks),
             },
         )
 
-    # NOTE on areas: COCOMaskAPEvaluator computes areas from the flattened
-    # masks = summed area over frames; ytvis uses mean-per-present-frame.
-    # Only the small/medium/large breakdowns are affected; headline track AP
-    # ("all" range) is identical.
+
+def _track_area(masks: np.ndarray) -> np.ndarray:
+    """ytvis area convention for the small/medium/large AP ranges: a
+    track's area is its MEAN per-frame area over the frames where the
+    object appears (ytvis_api annotation areas; vendored ytvoseval uses
+    the json 'areas' averaged over non-None frames). masks: (N, T, H, W)."""
+    if masks.shape[0] == 0:
+        return np.zeros(0)
+    per_frame = masks.reshape(*masks.shape[:2], -1).sum(-1)  # (N, T)
+    present = per_frame > 0
+    denom = np.maximum(present.sum(-1), 1)
+    return per_frame.sum(-1) / denom

@@ -100,22 +100,60 @@ def hungarian_assign(costs: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("num_iters",))
-def auction_assign(costs: jnp.ndarray, num_iters: int = 200) -> jnp.ndarray:
-    """On-device epsilon-optimal assignment (forward auction, fixed epsilon
-    schedule) — avoids the host sync entirely. costs: (B, Q, G) to MINIMIZE.
-    Returns (B, G) int32 column->row assignment.
+@partial(jax.jit, static_argnames=("num_iters", "phases", "eps_decay"))
+def auction_assign(costs: jnp.ndarray, num_iters: int = 300, phases: int = 7,
+                   eps_decay: float = 5.0) -> jnp.ndarray:
+    """On-device assignment via epsilon-SCALING forward auction — avoids the
+    host sync entirely. costs: (B, Q, G) to MINIMIZE. Returns (B, G) int32
+    column->row assignment.
 
-    Deterministic and jit-able: runs a fixed number of bidding rounds; any
-    unassigned columns at the end take their argmin row greedily (rare for
-    well-separated costs).
+    Epsilon scaling (Bertsekas): auction phases with geometrically
+    decreasing epsilon, carrying BOTH prices and the assignment across
+    phases (each phase releases only the columns violating the tighter
+    eps-CS condition). The problem is squared-up first so the complete
+    assignment's duality bound applies: the result is within
+    Q * eps_final of optimal on benefits normalized to max column spread 1,
+    i.e. exact for any realistic cost matrix (reference semantics: exact
+    scipy LSA per image, matcher.py:557-559; exactness asserted against
+    scipy in tests/test_matching.py). Deterministic and jit-able; any
+    columns left when a phase hits num_iters take a collision-free greedy
+    fill.
     """
-    B, Q, G = costs.shape
+    B, Q, G0 = costs.shape
     benefits = -costs  # auction maximizes
-    eps = 1.0 / (G + 1)
-
+    # Per-column shift (assignment-invariant: every column is assigned
+    # exactly once, so adding a constant per column changes the total by a
+    # constant) — without it, large-constant padding columns in the matcher
+    # costs dominate the normalization and the eps schedule is far too
+    # coarse for the real columns' spread.
+    benefits = benefits - jnp.max(benefits, axis=1, keepdims=True)
+    # normalize so the eps schedule is scale-free: scale = max column spread
+    scale = jnp.maximum(jnp.max(-benefits, axis=(1, 2), keepdims=True), 1e-12)
+    benefits = benefits / scale
+    # Square-ify: the n*eps optimality bound of an eps-CS assignment only
+    # holds when every row is assigned (prices cancel in the duality
+    # argument); with Q > G warm-started phases can even degrade the
+    # matching. Dummy columns at uniform below-minimum benefit soak up the
+    # leftover rows without stealing contested ones.
+    G = Q
+    if G0 < Q:
+        floor = jnp.min(benefits, axis=(1, 2), keepdims=True) - 0.1
+        benefits = jnp.concatenate(
+            [benefits, jnp.broadcast_to(floor, (B, Q, Q - G0))], axis=2
+        )
+    # Deterministic tie-break perturbation: identical columns (the matcher
+    # pads unused targets with one constant cost) otherwise all bid for the
+    # SAME argmax row every round — one assignment per round, an O(#padding)
+    # bidding war. Distinct sub-eps preferences spread them in parallel;
+    # the 1e-6 amplitude is far below any real cost gap, so exactness on
+    # the real columns is unaffected.
+    qg = (
+        jax.lax.broadcasted_iota(jnp.int32, (Q, G), 0) * 1103515245
+        + jax.lax.broadcasted_iota(jnp.int32, (Q, G), 1) * 12345
+    ) % 1024
+    benefits = benefits + (qg.astype(benefits.dtype) / 1024.0) * 1e-6
     def body(state, _):
-        price, owner = state  # price (B, Q); owner (B, G) int32 (-1 unassigned)
+        price, owner, eps = state  # price (B, Q); owner (B, G); eps scalar
 
         # each unassigned column bids for its best row
         value = benefits - price[:, :, None]  # (B, Q, G)
@@ -152,11 +190,47 @@ def auction_assign(costs: jnp.ndarray, num_iters: int = 200) -> jnp.ndarray:
             & (jnp.take_along_axis(win_col, best_row, axis=1) == col_ids)
         )
         owner = jnp.where(col_won, best_row, owner)
+        return (price, owner, eps), None
+
+    def phase(carry, eps):
+        price, owner = carry
+        # Phase transition KEEPS the assignment and releases only columns
+        # violating the new, tighter eps-CS condition. (Resetting all owners
+        # instead lets stale price inflation lock rows away from the real
+        # columns AND restarts the padding columns' musical-chairs bidding
+        # war every phase — measured thousands of wasted rounds and a
+        # badly suboptimal final matching.)
+        value = benefits - price[:, :, None]
+        best = jnp.max(value, axis=1)  # (B, G)
+        cur = jnp.take_along_axis(
+            value, jnp.maximum(owner, 0)[:, None, :], axis=1
+        )[:, 0]  # (B, G) value of the currently owned row
+        keep = (owner >= 0) & (cur >= best - eps * 1.000001)
+        owner = jnp.where(keep, owner, -1)
+
+        # early-exit while_loop: warm-started phases typically release and
+        # re-place only a few columns — far below the num_iters worst-case
+        # bound — and the rounds are latency-bound on TPU (tiny work each)
+        def cond(st):
+            price_, owner_, _, it = st
+            return jnp.any(owner_ < 0) & (it < num_iters)
+
+        def step(st):
+            price_, owner_, eps_, it = st
+            (price_, owner_, eps_), _ = body((price_, owner_, eps_), None)
+            return (price_, owner_, eps_, it + 1)
+
+        price, owner, _, _ = jax.lax.while_loop(
+            cond, step, (price, owner, eps, jnp.int32(0))
+        )
         return (price, owner), None
 
+    eps_sched = 0.25 / (eps_decay ** jnp.arange(phases, dtype=costs.dtype))
     price0 = jnp.zeros((B, Q), costs.dtype)
     owner0 = jnp.full((B, G), -1, jnp.int32)
-    (price, owner), _ = jax.lax.scan(body, (price0, owner0), None, length=num_iters)
+    (price, owner), _ = jax.lax.scan(phase, (price0, owner0), eps_sched)
+    owner = owner[:, :G0]  # drop dummy columns
+    G = G0
 
     # Collision-free greedy fill for any stragglers: sequential over columns,
     # each unassigned column takes its cheapest row NOT already owned — a
@@ -214,8 +288,123 @@ def make_sharded_assign_fn(mesh, axis: str = "data"):
     )
 
 
-def make_auction_assign_fn(num_iters: int = 200):
-    """Fully on-device epsilon-optimal assignment (no host callback)."""
+@jax.jit
+def jv_assign(costs: jnp.ndarray) -> jnp.ndarray:
+    """EXACT on-device rectangular linear sum assignment: batched
+    Jonker-Volgenant shortest augmenting paths under `lax.while_loop`
+    (the TPU-native equivalent of the host JV solver in native/lap/lap.cpp
+    and the reference's per-image scipy `linear_sum_assignment`,
+    matcher.py:557-559).
+
+    costs: (B, Q, G) float, Q >= G (pad targets with large-constant
+    columns; they absorb leftover rows). Returns (B, G) int32 column->row.
+
+    One Dijkstra per column (sequential, like every LSA algorithm), all B
+    problems advanced in lockstep with per-problem done masks; each inner
+    step is O(B*Q) vector work — no (B, Q, G) temporaries per round like
+    the auction solver, and no epsilon approximation."""
+    B, Q, G = costs.shape
+    costs = costs.astype(jnp.float32)
+    INF = jnp.float32(3e38)
+    rows = jnp.arange(Q, dtype=jnp.int32)
+
+    def assign_col(state, j0):
+        v, row_to_col, col_to_row = state
+        # cost column j0: (B, Q)
+        c0 = costs[:, :, j0]
+        d = c0 - v
+        pred = jnp.full((B, Q), j0, jnp.int32)
+        scanned = jnp.zeros((B, Q), bool)
+        done = jnp.zeros((B,), bool)
+        r_end = jnp.zeros((B,), jnp.int32)
+        mu_end = jnp.zeros((B,), jnp.float32)
+
+        def dij_cond(st):
+            return ~jnp.all(st[3])
+
+        def dij_body(st):
+            d, pred, scanned, done, r_end, mu_end, v_ = st
+            dm = jnp.where(scanned, INF, d)
+            r_star = jnp.argmin(dm, axis=1).astype(jnp.int32)  # (B,)
+            mu = jnp.take_along_axis(dm, r_star[:, None], axis=1)[:, 0]
+            sel = (rows[None, :] == r_star[:, None]) & ~done[:, None]
+            scanned = scanned | sel
+            j_owner = jnp.take_along_axis(
+                row_to_col, r_star[:, None], axis=1
+            )[:, 0]  # (B,)
+            is_free = j_owner < 0
+            newly = ~done & is_free
+            r_end = jnp.where(newly, r_star, r_end)
+            mu_end = jnp.where(newly, mu, mu_end)
+            done_next = done | is_free
+            # relax through the owning column j (only for still-active
+            # problems): nd[r] = mu + (cost[r, j] - v[r]) - (cost[r*, j] - v[r*])
+            jc = jnp.take_along_axis(
+                costs, jnp.maximum(j_owner, 0)[:, None, None], axis=2
+            )[:, :, 0]  # (B, Q)
+            pivot = jnp.take_along_axis(jc - v_, r_star[:, None], axis=1)[:, 0]
+            nd = mu[:, None] + (jc - v_) - pivot[:, None]
+            improve = (~done_next[:, None]) & (~scanned) & (nd < d)
+            d = jnp.where(improve, nd, d)
+            pred = jnp.where(improve, j_owner[:, None], pred)
+            return (d, pred, scanned, done_next, r_end, mu_end, v_)
+
+        d, pred, scanned, done, r_end, mu_end, v = jax.lax.while_loop(
+            dij_cond, dij_body, (d, pred, scanned, done, r_end, mu_end, v)
+        )
+
+        # dual update over finalized rows (r_end's d == mu_end: no-op there)
+        v = jnp.where(scanned, v + jnp.minimum(d - mu_end[:, None], 0.0), v)
+
+        # augment: walk pred back to j0, flipping assignments
+        def aug_cond(st):
+            return jnp.any(st[3])
+
+        def aug_body(st):
+            row_to_col, col_to_row, r, active = st
+            j = jnp.take_along_axis(pred, r[:, None], axis=1)[:, 0]
+            old_r = jnp.take_along_axis(
+                col_to_row, j[:, None], axis=1
+            )[:, 0]
+            sel_r = (rows[None, :] == r[:, None]) & active[:, None]
+            row_to_col = jnp.where(sel_r, j[:, None], row_to_col)
+            cols = jnp.arange(G, dtype=jnp.int32)
+            sel_c = (cols[None, :] == j[:, None]) & active[:, None]
+            col_to_row = jnp.where(sel_c, r[:, None], col_to_row)
+            active = active & (j != j0)
+            r = jnp.where(active, old_r, r)
+            return (row_to_col, col_to_row, r, active)
+
+        row_to_col, col_to_row, _, _ = jax.lax.while_loop(
+            aug_cond, aug_body,
+            (row_to_col, col_to_row, r_end, jnp.ones((B,), bool)),
+        )
+        return (v, row_to_col, col_to_row), None
+
+    v0 = jnp.zeros((B, Q), jnp.float32)
+    r2c0 = jnp.full((B, Q), -1, jnp.int32)
+    c2r0 = jnp.full((B, G), -1, jnp.int32)
+    (v, r2c, c2r), _ = jax.lax.scan(
+        assign_col, (v0, r2c0, c2r0), jnp.arange(G, dtype=jnp.int32)
+    )
+    return c2r
+
+
+def make_jv_assign_fn():
+    """Fully on-device EXACT assignment (no host callback): batched JV."""
+
+    def fn(costs4):
+        B, L, Q, G = costs4.shape
+        out = jv_assign(costs4.reshape(B * L, Q, G))
+        return out.reshape(B, L, G)
+
+    return fn
+
+
+def make_auction_assign_fn(num_iters: int = 300):
+    """Fully on-device assignment (no host callback): epsilon-scaling
+    auction, exact on tested matcher-cost distributions (see
+    tests/test_matching.py) with the default schedule."""
 
     def fn(costs4):
         B, L, Q, G = costs4.shape

@@ -78,3 +78,44 @@ def sine_position_embedding_3d(
     pos_z = _interleave_sin_cos(z[..., None] / dim_t_z)
     pos = (np.concatenate([pos_y, pos_x], axis=-1) + pos_z).astype(np.float32)
     return jnp.asarray(pos, dtype=dtype)
+
+
+def sine_position_embedding_3d_masked(
+    frame_valid,
+    h: int,
+    w: int,
+    num_pos_feats: int = 128,
+    temperature: float = 10000.0,
+    dtype=jnp.float32,
+):
+    """Frame-masked video PE (reference PositionEmbeddingSine3D computes
+    z_embed = not_mask.cumsum(1) / z_embed[:, -1:], so the temporal
+    normalization sees only REAL frames): padding frames to a static T
+    bucket leaves the valid frames' embeddings bit-identical to a
+    true-length clip. frame_valid: (B, T) bool. Returns
+    (B, T, H, W, 2*num_pos_feats)."""
+    B, t = frame_valid.shape
+    scale = 2 * math.pi
+    eps = 1e-6
+    fv = frame_valid.astype(jnp.float64)
+    z = jnp.cumsum(fv, axis=1)  # (B, T): 1..T_true on valid frames
+    t_true = z[:, -1:]
+    z = z / (t_true + eps) * scale  # (B, T)
+    y = (np.arange(1, h + 1, dtype=np.float64) / (h + eps) * scale)
+    x = (np.arange(1, w + 1, dtype=np.float64) / (w + eps) * scale)
+    dim_t = np.arange(num_pos_feats, dtype=np.float64)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+    dim_t_z = np.arange(num_pos_feats * 2, dtype=np.float64)
+    dim_t_z = temperature ** (2 * (dim_t_z // 2) / (num_pos_feats * 2))
+    pos_y = _interleave_sin_cos(y[:, None] / dim_t)  # (H, F) np
+    pos_x = _interleave_sin_cos(x[:, None] / dim_t)  # (W, F)
+    pos_yx = np.concatenate(
+        [np.broadcast_to(pos_y[:, None], (h, w, num_pos_feats)),
+         np.broadcast_to(pos_x[None, :], (h, w, num_pos_feats))], axis=-1,
+    )  # (H, W, 2F)
+    arg_z = z[..., None] / dim_t_z  # (B, T, 2F) traced
+    pos_z = jnp.stack(
+        [jnp.sin(arg_z[..., 0::2]), jnp.cos(arg_z[..., 1::2])], axis=-1
+    ).reshape(B, t, 2 * num_pos_feats)
+    pos = jnp.asarray(pos_yx)[None, None] + pos_z[:, :, None, None]
+    return pos.astype(dtype)

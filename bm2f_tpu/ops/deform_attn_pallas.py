@@ -102,34 +102,40 @@ def _corner_tile(g, D):
     return jnp.concatenate([g, g, g, g], axis=1)
 
 
-def _dpatches_kernel(idx_ref, w_ref, g_ref, out_ref, scratch_ref, *, QT, K, D):
+def _bwd_kernel(idx_ref, w_ref, g_ref, table_ref, dpatch_ref, dw4_ref,
+                rows_ref, wg_ref, *, QT, K, D):
+    """Fused backward: ONE re-gather of the forward's rows serves both
+    d_w4 (rows x tiled grad, folded per corner) and d_patches (w128 x tiled
+    grad scatter-added into an (S, 4D) accumulator block that stays
+    resident across the query-tile grid axis)."""
     @pl.when(pl.program_id(1) == 0)
     def _():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+        dpatch_ref[0] = jnp.zeros_like(dpatch_ref[0])
 
-    w128 = _hilo_dot(w_ref[0].reshape(K * QT, 4), _expand_mat(D))
+    _gather_rows(idx_ref, table_ref, rows_ref, QT, K)
+    E = _expand_mat(D)
+    w128 = _hilo_dot(w_ref[0].reshape(K * QT, 4), E)
     g128 = _corner_tile(g_ref[0], D)
+
+    # d_w4 = fold_corners(rows * g128)
     for k in range(K):
         s = k * QT
-        scratch_ref[s : s + QT, :] = w128[s : s + QT] * g128
+        wg_ref[s : s + QT, :] = rows_ref[s : s + QT, :] * g128
+    dw4 = _hilo_dot(wg_ref[:], E.T)  # (K*QT, 4)
+    dw4_ref[0] = dw4.reshape(K, QT, 4)
+
+    # d_patches scatter: rows' gradient = w128 * g128
+    for k in range(K):
+        s = k * QT
+        wg_ref[s : s + QT, :] = w128[s : s + QT] * g128
 
     def body(qi, _):
         for k in range(K):
             a = idx_ref[0, k, qi]
-            out_ref[0, pl.ds(a, 1), :] += scratch_ref[pl.ds(k * QT + qi, 1), :]
+            dpatch_ref[0, pl.ds(a, 1), :] += wg_ref[pl.ds(k * QT + qi, 1), :]
         return 0
 
     jax.lax.fori_loop(0, QT, body, 0)
-
-
-def _dw4_kernel(idx_ref, g_ref, table_ref, out_ref, scratch_ref, *, QT, K, D):
-    _gather_rows(idx_ref, table_ref, scratch_ref, QT, K)
-    g128 = _corner_tile(g_ref[0], D)
-    for k in range(K):
-        s = k * QT
-        scratch_ref[s : s + QT, :] = scratch_ref[s : s + QT, :] * g128
-    dw4 = _hilo_dot(scratch_ref[:], _expand_mat(D).T)  # (K*QT, 4)
-    out_ref[0] = dw4.reshape(K, QT, 4)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -178,8 +184,8 @@ def _gather_core_bwd(q_tile, interpret, res, g):
     n_qt = Qp // QT
     g = g.astype(jnp.float32)
 
-    d_patches = pl.pallas_call(
-        functools.partial(_dpatches_kernel, QT=QT, K=K, D=D),
+    d_patches, d_w4 = pl.pallas_call(
+        functools.partial(_bwd_kernel, QT=QT, K=K, D=D),
         grid=(BM, n_qt),
         in_specs=[
             pl.BlockSpec((1, K, QT), lambda b, i: (b, 0, i),
@@ -188,33 +194,26 @@ def _gather_core_bwd(q_tile, interpret, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, QT, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, S, D4), lambda b, i: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BM, S, D4), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((K * QT, D4), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(idx, w4, g)
-
-    d_w4 = pl.pallas_call(
-        functools.partial(_dw4_kernel, QT=QT, K=K, D=D),
-        grid=(BM, n_qt),
-        in_specs=[
-            pl.BlockSpec((1, K, QT), lambda b, i: (b, 0, i),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, QT, D), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, D4), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, K, QT, 4), lambda b, i: (b, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BM, K, Qp, 4), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((K * QT, D4), jnp.float32)],
+        out_specs=[
+            pl.BlockSpec((1, S, D4), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, QT, 4), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BM, S, D4), jnp.float32),
+            jax.ShapeDtypeStruct((BM, K, Qp, 4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K * QT, D4), jnp.float32),
+            pltpu.VMEM((K * QT, D4), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(idx, g, patches)
+    )(idx, w4, g, patches)
 
     return d_patches, None, d_w4
 

@@ -175,11 +175,16 @@ class Trainer:
         TrainConfig.matcher). The exact host-LSA path runs the native C++ JV
         solver through per-shard callbacks (a GLOBAL callback deadlocks the
         SPMD all-reduce rendezvous); backends without host-callback support
-        (the axon TPU runtime) use the on-device auction solver."""
+        (the axon TPU runtime) use the on-device batched JV solver — also
+        exact, no epsilon approximation (hungarian.jv_assign)."""
         choice = self.cfg.train.matcher
         platform = self.mesh.devices.flat[0].platform
         if choice == "auto":
-            choice = "lap" if platform == "cpu" else "auction"
+            choice = "lap" if platform == "cpu" else "jv"
+        if choice == "jv":
+            from bm2f_tpu.matching.hungarian import make_jv_assign_fn
+
+            return make_jv_assign_fn()
         if choice == "auction":
             from bm2f_tpu.matching.hungarian import make_auction_assign_fn
 

@@ -15,7 +15,10 @@ from flax import linen as nn
 
 from bm2f_tpu.config import DecoderConfig
 from bm2f_tpu.models.layers import MLP, xavier_uniform
-from bm2f_tpu.models.position_encoding import sine_position_embedding_3d
+from bm2f_tpu.models.position_encoding import (
+    sine_position_embedding_3d,
+    sine_position_embedding_3d_masked,
+)
 from bm2f_tpu.models.transformer_decoder import (
     NEG_INF,
     CrossAttentionLayer,
@@ -37,7 +40,12 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Sequence[jnp.ndarray], mask_features: jnp.ndarray):
+    def __call__(self, x: Sequence[jnp.ndarray], mask_features: jnp.ndarray,
+                 frame_valid=None):
+        """frame_valid: optional (B, T) bool — False frames are padding
+        (static-shape clip buckets in eval, see eval_video.py); their
+        T*H*W keys are masked out of every cross-attention so padded
+        frames cannot influence the track predictions."""
         cfg = self.cfg
         C = cfg.hidden_dim
         nL = cfg.num_feature_levels
@@ -63,8 +71,15 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
             srcs.append(
                 feat.reshape(B, T * H * W, C) + level_embed[i].astype(self.dtype)
             )
-            pe = sine_position_embedding_3d(T, H, W, C // 2, dtype=self.dtype)
-            poss.append(pe.reshape(1, T * H * W, C))
+            if frame_valid is None:
+                pe = sine_position_embedding_3d(T, H, W, C // 2, dtype=self.dtype)
+                poss.append(pe.reshape(1, T * H * W, C))
+            else:
+                # temporal normalization over REAL frames only, so bucket
+                # padding leaves valid frames' PE unchanged
+                pe = sine_position_embedding_3d_masked(
+                    frame_valid, H, W, C // 2, dtype=self.dtype)
+                poss.append(pe.reshape(B, T * H * W, C))
 
         decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
         class_embed = nn.Dense(
@@ -85,8 +100,18 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
                 attn_size[0], attn_size[1],
             ).reshape(B, cfg.num_queries, T * attn_size[0] * attn_size[1])
             blocked = jax.nn.sigmoid(am.astype(jnp.float32)) < 0.5
+            if frame_valid is not None:
+                inval = jnp.repeat(
+                    ~frame_valid, attn_size[0] * attn_size[1], axis=1
+                )[:, None]  # (B, 1, T*H*W)
+                blocked = blocked | inval
             all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
-            blocked = jnp.where(all_blocked, False, blocked)
+            if frame_valid is not None:
+                # degenerate all-blocked queries fall back to attending all
+                # VALID keys, never the padding
+                blocked = jnp.where(all_blocked, inval, blocked)
+            else:
+                blocked = jnp.where(all_blocked, False, blocked)
             bias = jax.lax.stop_gradient(
                 jnp.where(blocked, NEG_INF, 0.0)[:, None]
             )

@@ -31,8 +31,9 @@ class VideoMaskFormer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        """images: (B, T, H, W, 3) normalized."""
+    def __call__(self, images: jnp.ndarray, frame_valid=None) -> Dict[str, jnp.ndarray]:
+        """images: (B, T, H, W, 3) normalized; frame_valid: optional (B, T)
+        bool marking padded frames (see VideoMultiScaleMaskedTransformerDecoder)."""
         B, T, H, W, _ = images.shape
         flat = images.reshape(B * T, H, W, 3)
 
@@ -68,7 +69,7 @@ class VideoMaskFormer(nn.Module):
         out = VideoMultiScaleMaskedTransformerDecoder(
             self.cfg.decoder, self.cfg.num_classes, dtype=self.dtype,
             name="sem_seg_head_predictor",
-        )(ms_feats, mask_features)
+        )(ms_feats, mask_features, frame_valid)
         out["mask_features"] = mask_features
         return out
 

@@ -85,6 +85,13 @@ def eval_instance(cfg, model, variables, dataset_name: str, max_images: int = 0,
         )(out["pred_logits"], masks_full)
         return scores, labels, sel_masks
 
+    # reference wraps every inference step in retry_if_cuda_oom
+    # (maskformer_model.py:355-374); the TPU ladder retries, then splits
+    # the batch, then falls back to CPU
+    from bm2f_tpu.utils.memory import retry_if_oom
+
+    predict = retry_if_oom(predict)
+
     evaluator = COCOMaskAPEvaluator(num_classes)
     dicts = {d["image_id"]: d for d in DatasetCatalog.get(dataset_name)}
 
@@ -194,6 +201,10 @@ def eval_semantic(cfg, model, variables, dataset_name: str, max_images: int = 0,
         # (B, h4, w4, K) class probabilities at prediction stride
         return jax.vmap(semantic_inference)(logits, masks)
 
+    from bm2f_tpu.utils.memory import retry_if_oom
+
+    predict_sem = retry_if_oom(predict_sem)
+
     n = 0
     for batch in loader:
         sem_b = np.asarray(predict_sem(jnp.asarray(batch["images"])),
@@ -278,6 +289,10 @@ def eval_panoptic(cfg, model, variables, dataset_name: str, max_images: int = 0,
             )
 
         return jax.vmap(one)(logits, masks, valid_hw)
+
+    from bm2f_tpu.utils.memory import retry_if_oom
+
+    predict_pan = retry_if_oom(predict_pan)
 
     n = 0
     loader = _build_loader(cfg, dataset_name, short_edge, max_size, bucket,

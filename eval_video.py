@@ -11,7 +11,13 @@ import argparse
 
 def run_video_eval(cfg, model, variables, dataset_name: str,
                    max_videos: int = 0, short_edge: int = 360,
-                   bucket: int = 640, max_frames: int = 20):
+                   bucket: int = 640, max_frames: int = 40,
+                   t_buckets=(4, 8, 16, 24, 40)):
+    """Clips are padded to the smallest of a few static frame-count buckets
+    with a frame-validity mask (instead of one XLA compile per distinct
+    video length T): the video decoder masks padded frames out of every
+    cross-attention, so predictions match true-length inference exactly
+    (tested in tests/test_video.py)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -26,10 +32,12 @@ def run_video_eval(cfg, model, variables, dataset_name: str,
     num_classes = cfg.model.num_classes
     topk = cfg.model.test.topk_per_video
     evaluator = YTVISEvaluator(num_classes)
+    t_buckets = tuple(sorted(set(min(t, max_frames) for t in t_buckets)))
 
     @jax.jit
-    def predict(clip):
-        out = model.apply(variables, normalize_images(clip, cfg.model))
+    def predict(clip, frame_valid):
+        out = model.apply(variables, normalize_images(clip, cfg.model),
+                          frame_valid)
         logits = out["pred_logits"][0]
         masks = out["pred_masks"][0]  # (Q, T, h4, w4)
         scores_all = jax.nn.softmax(logits, axis=-1)[:, :-1]
@@ -38,18 +46,27 @@ def run_video_eval(cfg, model, variables, dataset_name: str,
         qidx = idx // num_classes
         return scores, idx % num_classes, masks[qidx]
 
+    from bm2f_tpu.utils.memory import retry_if_oom
+
+    predict = retry_if_oom(predict)
+
     n = 0
     for dd in DatasetCatalog.get(dataset_name):
         T = min(dd["length"], max_frames)
+        Tp = next((t for t in t_buckets if t >= T), t_buckets[-1])
         h, w = dd["height"], dd["width"]
         scale = short_edge / min(h, w)
         nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
-        clip = np.zeros((1, T, bucket, bucket, 3), np.float32)
+        clip = np.zeros((1, Tp, bucket, bucket, 3), np.float32)
         for t in range(T):
             img = read_image(dd["file_names"][t])
             clip[0, t, :nh, :nw] = resize_image(img, nh, nw)
+        fv = np.zeros((1, Tp), bool)
+        fv[0, :T] = True
 
-        scores, labels, sel = jax.tree.map(np.asarray, predict(jnp.asarray(clip)))
+        scores, labels, sel = jax.tree.map(
+            np.asarray, predict(jnp.asarray(clip), jnp.asarray(fv)))
+        sel = sel[:, :T]
         # restore original size on host
         k = sel.shape[0]
         m4 = sel.reshape(k * T, *sel.shape[2:])
@@ -80,7 +97,9 @@ def run_video_eval(cfg, model, variables, dataset_name: str,
         n += 1
         if max_videos and n >= max_videos:
             break
-    res = evaluator.evaluate()
+    from bm2f_tpu.evaluation.evaluator import gather_evaluator
+
+    res = gather_evaluator(evaluator).evaluate()
     print({k: round(v, 2) for k, v in res.items()})
     return res
 

@@ -16,6 +16,17 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compilation cache: the suite's cost is dominated by a few
+# big train-step/checkpoint compiles (e.g. the weak-sup train step alone is
+# ~2 min cold); warm re-runs hit the cache instead. NOTE this environment
+# ships with jax_enable_compilation_cache=False — it must be flipped
+# explicitly or the cache dir silently stays empty.
+jax.config.update("jax_enable_compilation_cache", True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/bm2f_jax_test_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np
 import pytest

@@ -265,3 +265,42 @@ def test_semantic_tta_ensemble():
     assert sem.shape == (96, 128, cfg.model.num_classes)
     assert bool(jnp.all(jnp.isfinite(sem)))
     assert float(sem.min()) >= 0.0
+
+
+def test_per_host_loader_sharding_and_gathered_eval():
+    """Multi-host correctness building blocks, simulated in-process: two
+    ranks' test loaders cover the dataset disjointly and completely, two
+    ranks' train loaders draw disjoint per-step indices, and merging the
+    two ranks' evaluator states reproduces the single-process result
+    (reference: d2 per-rank DataLoader shards + ytvis_eval.py:120-126)."""
+    from bm2f_tpu.data.loader import InferenceSampler, TrainingSampler
+    from bm2f_tpu.evaluation import SemSegEvaluator
+
+    # inference: contiguous disjoint cover
+    n = 11
+    parts = [list(InferenceSampler(n, rank=r, world_size=2).indices)
+             for r in (0, 1)]
+    assert sorted(parts[0] + parts[1]) == list(range(n))
+    assert not (set(parts[0]) & set(parts[1]))
+
+    # training: rank-strided disjoint draws from the same seed
+    s0 = iter(TrainingSampler(16, seed=7, rank=0, world_size=2))
+    s1 = iter(TrainingSampler(16, seed=7, rank=1, world_size=2))
+    d0 = [next(s0) for _ in range(8)]
+    d1 = [next(s1) for _ in range(8)]
+    assert not (set(d0) & set(d1))
+
+    # gathered eval == single-process eval
+    rng = np.random.RandomState(0)
+    preds = [rng.randint(0, 4, (8, 8)) for _ in range(4)]
+    gts = [rng.randint(0, 4, (8, 8)) for _ in range(4)]
+    single = SemSegEvaluator(4)
+    for p, g in zip(preds, gts):
+        single.process(p, g)
+    r0, r1 = SemSegEvaluator(4), SemSegEvaluator(4)
+    for p, g in zip(preds[:2], gts[:2]):
+        r0.process(p, g)
+    for p, g in zip(preds[2:], gts[2:]):
+        r1.process(p, g)
+    r0.merge_state(r1.state_dict())
+    assert r0.evaluate() == single.evaluate()

@@ -37,13 +37,15 @@ def test_auction_assign_near_optimal(rng):
     from scipy.optimize import linear_sum_assignment
 
     costs = rng.rand(4, 30, 10).astype(np.float32)
-    out = np.asarray(auction_assign(jnp.asarray(costs), num_iters=400))
+    out = np.asarray(auction_assign(jnp.asarray(costs)))
     for b in range(4):
         assert len(set(out[b])) == 10, "assignment must be one-to-one"
         rows, cols = linear_sum_assignment(costs[b])
         opt = costs[b][rows, cols].sum()
         got = _cost_of(costs[b : b + 1], out[b : b + 1])
-        assert got <= opt + 0.15, f"auction too far from optimal: {got} vs {opt}"
+        # epsilon scaling: near-optimal (the exact production path is
+        # jv_assign; the auction remains the bounded-round alternative)
+        assert got <= opt + 0.02, f"auction too far off: {got} vs {opt}"
 
 
 def test_auction_fallback_is_one_to_one(rng):
@@ -185,11 +187,11 @@ def test_perfect_prediction_low_loss(rng):
     assert float(losses["loss_ce"]) < 0.01
 
 
-def test_auction_on_realistic_matcher_costs(rng):
-    """The auction solver is the production matcher on TPU (the axon runtime
-    rejects host callbacks) — verify near-exact agreement on REAL cost
-    structure, zero collisions among real targets."""
-    from bm2f_tpu.matching.hungarian import _solve_host
+def test_jv_on_realistic_matcher_costs(rng):
+    """The on-device batched JV solver is the production matcher on TPU
+    (the axon runtime rejects host callbacks) — EXACT agreement with the
+    host LSA on real cost structure, zero collisions."""
+    from bm2f_tpu.matching.hungarian import _solve_host, jv_assign
     from bm2f_tpu.matching.matcher import hungarian_matcher_costs
 
     B, Q, K, G = 4, 50, 20, 12
@@ -206,12 +208,33 @@ def test_auction_on_realistic_matcher_costs(rng):
         )
     )
     exact = _solve_host(C)
-    auc = np.asarray(auction_assign(jnp.asarray(C), num_iters=200))
-    agree = 0
+    out = np.asarray(jv_assign(jnp.asarray(C)))
     for b in range(B):
-        a, e = auc[b, :10], exact[b, :10]
+        a, e = out[b, :10], exact[b, :10]
         assert len(set(a.tolist())) == 10, "collision among real targets"
-        agree += (a == e).sum()
         gap = C[b, a, np.arange(10)].sum() - C[b, e, np.arange(10)].sum()
-        assert gap < 0.1, f"cost gap too large: {gap}"
-    assert agree >= int(0.85 * B * 10), f"agreement too low: {agree}/{B*10}"
+        # ties between equal-cost assignments may differ; total cost must not
+        assert abs(gap) < 1e-4, f"cost gap: {gap}"
+
+
+def test_jv_assign_exact_vs_scipy(rng):
+    """Batched on-device JV == scipy LSA total cost on rectangular, square,
+    and padded-production cost matrices (bit-exact assignments up to ties)."""
+    from bm2f_tpu.matching.hungarian import _solve_host, jv_assign
+
+    cases = [
+        rng.rand(4, 30, 10).astype(np.float32),
+        rng.rand(3, 24, 24).astype(np.float32) * 20,
+    ]
+    padded = rng.rand(4, 40, 40).astype(np.float32) * 20
+    padded[:, :, 7:] = 1e4
+    cases.append(padded)
+    for C in cases:
+        out = np.asarray(jv_assign(jnp.asarray(C)))
+        ex = _solve_host(C)
+        B, Q, G = C.shape
+        for b in range(B):
+            assert len(set(out[b].tolist())) == G
+            got = C[b, out[b], np.arange(G)].sum()
+            opt = C[b, ex[b], np.arange(G)].sum()
+            np.testing.assert_allclose(got, opt, rtol=1e-6, atol=1e-4)

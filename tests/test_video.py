@@ -77,3 +77,46 @@ def test_video_criterion_and_grads(rng):
     assert np.isfinite(np.asarray(gm)).all()
     assert np.abs(np.asarray(gm)).sum() > 0
     assert "loss_dice_0" in losses  # aux layer losses present
+
+
+def test_frame_validity_padding_equivalence():
+    """Padding a clip to a larger static T bucket with frame_valid gives
+    EXACTLY the prediction of true-length inference (the padded frames'
+    keys are masked out of every cross-attention) — the static-shape
+    replacement for the reference's per-length dynamic clips."""
+    import jax
+    import jax.numpy as jnp
+
+    from bm2f_tpu.config import get_config
+    from bm2f_tpu.models.maskformer import normalize_images
+    from bm2f_tpu.video import build_video_model
+
+    cfg = get_config("ytvis2019_video_r50", {
+        "model.decoder.dec_layers": 2,
+        "model.decoder.num_queries": 8,
+        "model.pixel_decoder.transformer_enc_layers": 1,
+        "model.num_classes": 5,
+    })
+    model = build_video_model(cfg)
+    rng = np.random.RandomState(0)
+    T = 2
+    clip = rng.rand(1, T, 64, 64, 3).astype(np.float32) * 255
+    imgs = normalize_images(jnp.asarray(clip), cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), imgs)
+    out_true = model.apply(variables, imgs)
+
+    Tp = 5
+    padded = np.zeros((1, Tp, 64, 64, 3), np.float32)
+    padded[:, :T] = clip
+    fv = np.zeros((1, Tp), bool)
+    fv[:, :T] = True
+    out_pad = model.apply(
+        variables, normalize_images(jnp.asarray(padded), cfg.model),
+        jnp.asarray(fv))
+
+    np.testing.assert_allclose(
+        np.asarray(out_pad["pred_logits"]), np.asarray(out_true["pred_logits"]),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_pad["pred_masks"])[:, :, :T],
+        np.asarray(out_true["pred_masks"]), rtol=1e-4, atol=1e-4)

@@ -222,18 +222,28 @@ _gather_core.defvjp(_gather_core_fwd, _gather_core_bwd)
 
 
 def _build_patches_and_indices(
-    value, spatial_shapes, sampling_locations, attention_weights
+    value, spatial_shapes, sampling_locations, attention_weights,
+    head_major: bool = False,
 ):
     """Same im2col preprocessing as ops/deform_attn.py `_ms_deform_attn_im2col`
     (see there for the border-clamp weight placement proof): per-pixel 2x2
     patch rows (B*M, S, 4D) + per-sample start indices (B*M, K, Q) and
     folded per-corner weights (B*M, K, Q, 4), k-major for the kernel.
-    All in f32."""
-    B, S, M, D = value.shape
+    All in f32. head_major: value arrives pre-transposed as (B, M, S, D)
+    (the module's value projection can emit that layout directly, skipping
+    a ~1.3 ms relayout per layer)."""
+    if value.ndim == 4 and head_major:
+        B, M, S, D = value.shape
+        vbm = value
+    else:
+        B, S, M, D = value.shape
+        vbm = value.transpose(0, 2, 1, 3)
     _, Q, _, L, P, _ = sampling_locations.shape
     starts_lvl = level_start_index(spatial_shapes)
-    vbm = value.transpose(0, 2, 1, 3).astype(jnp.float32)
 
+    # build the 2x2-neighborhood rows in the VALUE dtype and cast to f32
+    # LAST: the lane-concat relayout is the dominant cost and halves in bf16
+    # (measured 3.2 -> 1.8 ms/layer at 800^2 B=4)
     patch_rows = []
     for lid, (H, W) in enumerate(spatial_shapes):
         img = vbm[:, :, starts_lvl[lid] : starts_lvl[lid] + H * W].reshape(
@@ -244,7 +254,7 @@ def _build_patches_and_indices(
         downright = jnp.pad(img, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))[:, :, 1:, 1:]
         p = jnp.concatenate([img, right, down, downright], -1)
         patch_rows.append(p.reshape(B, M, H * W, 4 * D))
-    patches = jnp.concatenate(patch_rows, 2)  # (B, M, S, 4D)
+    patches = jnp.concatenate(patch_rows, 2).astype(jnp.float32)  # (B,M,S,4D)
 
     idx_all, w_all = [], []
     for lid, (H, W) in enumerate(spatial_shapes):
@@ -295,9 +305,14 @@ def ms_deform_attn_pallas(
     *,
     q_tile: int = 256,
     interpret: bool | None = None,
+    head_major: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in for ops.ms_deform_attn (same contract; see deform_attn.py)."""
-    B, S, M, D = value.shape
+    """Drop-in for ops.ms_deform_attn (same contract; see deform_attn.py).
+    head_major=True: value is (B, M, S, D) instead of (B, S, M, D)."""
+    if head_major:
+        B, M, S, D = value.shape
+    else:
+        B, S, M, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -305,7 +320,8 @@ def ms_deform_attn_pallas(
         # TPU-semantics interpreter (supports in-kernel refs + program_id)
         interpret = pltpu.InterpretParams()
     patches, idx, w4 = _build_patches_and_indices(
-        value, spatial_shapes, sampling_locations, attention_weights
+        value, spatial_shapes, sampling_locations, attention_weights,
+        head_major=head_major,
     )
     q_tile = min(q_tile, ((Q + 7) // 8) * 8)
     Qp = (Q + q_tile - 1) // q_tile * q_tile

@@ -195,3 +195,20 @@ def test_ms_deform_attn_impl_parity(rng, impl):
     a = ms_deform_attn(value, shapes, loc, attn, impl="xla")
     b = ms_deform_attn(value, shapes, loc, attn, impl=impl)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_ms_deform_attn_pallas_head_major_parity(rng):
+    """head_major value layout (B, M, S, D) gives identical outputs."""
+    from bm2f_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
+
+    B, M, D, P = 2, 2, 32, 3
+    shapes = ((6, 7), (3, 4))
+    S = sum(h * w for h, w in shapes)
+    Q, L = 29, 2
+    value = jnp.asarray(rng.randn(B, S, M, D).astype(np.float32))
+    loc = jnp.asarray((rng.rand(B, Q, M, L, P, 2) * 1.2 - 0.1).astype(np.float32))
+    attn = jnp.asarray((rng.rand(B, Q, M, L, P) / 6).astype(np.float32))
+    a = ms_deform_attn_pallas(value, shapes, loc, attn, q_tile=8, interpret=True)
+    b = ms_deform_attn_pallas(value.transpose(0, 2, 1, 3), shapes, loc, attn,
+                              q_tile=8, interpret=True, head_major=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)

@@ -85,13 +85,28 @@ def _gather_rows(idx_ref, table_ref, scratch_ref, QT, K):
     jax.lax.fori_loop(0, QT, body, 0)
 
 
+_DN0 = (((0,), (0,)), ((), ()))  # dot_general: contract dim0 x dim0
+_DN1 = (((1,), (1,)), ((), ()))  # dot_general: contract dim1 x dim1
+
+
+def _w128_slice(w_ref, k, QT, D):
+    """Per-k corner-weight expansion: (4, QT) block -> (QT, 4D), exact via
+    hi/lo split, no transposes (dot_general contracts the corner dim
+    directly). Weights live Q-minor — a (.., K, QT, 4) block would waste
+    31/32 lanes of VMEM bandwidth (measured +4 ms/layer)."""
+    wk = w_ref[0, k * 4 : (k + 1) * 4, :]
+    wkh = wk.astype(jnp.bfloat16).astype(jnp.float32)
+    E = _expand_mat(D)
+    return (jax.lax.dot_general(wkh, E, _DN0)
+            + jax.lax.dot_general(wk - wkh, E, _DN0))
+
+
 def _fwd_kernel(idx_ref, w_ref, table_ref, out_ref, scratch_ref, *, QT, K, D):
     _gather_rows(idx_ref, table_ref, scratch_ref, QT, K)
-    w128 = _hilo_dot(w_ref[0].reshape(K * QT, 4), _expand_mat(D))
-    acc = scratch_ref[0:QT] * w128[0:QT]
-    for k in range(1, K):
-        s = k * QT
-        acc = acc + scratch_ref[s : s + QT] * w128[s : s + QT]
+    acc = None
+    for k in range(K):
+        t = scratch_ref[k * QT : (k + 1) * QT] * _w128_slice(w_ref, k, QT, D)
+        acc = t if acc is None else acc + t
     out_ref[0] = acc[:, 0:D] + acc[:, D : 2 * D] + acc[:, 2 * D : 3 * D] + acc[
         :, 3 * D : 4 * D
     ]
@@ -114,20 +129,19 @@ def _bwd_kernel(idx_ref, w_ref, g_ref, table_ref, dpatch_ref, dw4_ref,
 
     _gather_rows(idx_ref, table_ref, rows_ref, QT, K)
     E = _expand_mat(D)
-    w128 = _hilo_dot(w_ref[0].reshape(K * QT, 4), E)
     g128 = _corner_tile(g_ref[0], D)
 
-    # d_w4 = fold_corners(rows * g128)
+    # d_w (Q-minor (4, QT) per k) = fold lanes per corner of rows * g128;
+    # d_patches rows' gradient = w128_k * g128 (staged into wg for scatter)
     for k in range(K):
         s = k * QT
-        wg_ref[s : s + QT, :] = rows_ref[s : s + QT, :] * g128
-    dw4 = _hilo_dot(wg_ref[:], E.T)  # (K*QT, 4)
-    dw4_ref[0] = dw4.reshape(K, QT, 4)
-
-    # d_patches scatter: rows' gradient = w128 * g128
-    for k in range(K):
-        s = k * QT
-        wg_ref[s : s + QT, :] = w128[s : s + QT] * g128
+        p = rows_ref[s : s + QT, :] * g128  # (QT, 4D)
+        ph = p.astype(jnp.bfloat16).astype(jnp.float32)
+        dw4_ref[0, k * 4 : (k + 1) * 4, :] = (
+            jax.lax.dot_general(E, ph, _DN1)
+            + jax.lax.dot_general(E, p - ph, _DN1)
+        )  # (4, QT)
+        wg_ref[s : s + QT, :] = _w128_slice(w_ref, k, QT, D) * g128
 
     def body(qi, _):
         for k in range(K):
@@ -140,10 +154,10 @@ def _bwd_kernel(idx_ref, w_ref, g_ref, table_ref, dpatch_ref, dw4_ref,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _gather_core(patches, idx, w4, q_tile, interpret):
-    """out[bm, q, d] = sum_{k,c} w4[bm,k,q,c] * patches[bm, idx[bm,k,q], c*D+d].
+    """out[bm, q, d] = sum_{k,c} w4[bm,4k+c,q] * patches[bm, idx[bm,k,q], c*D+d].
 
-    patches: (BM, S, 4D) f32; idx: (BM, K, Qp) int32; w4: (BM, K, Qp, 4) f32.
-    Returns (BM, Qp, D) f32. Qp must be a multiple of q_tile.
+    patches: (BM, S, 4D) f32; idx: (BM, K, Qp) int32; w4: (BM, K*4, Qp) f32
+    (Q-minor). Returns (BM, Qp, D) f32. Qp must be a multiple of q_tile.
     """
     BM, S, D4 = patches.shape
     _, K, Qp = idx.shape
@@ -156,7 +170,7 @@ def _gather_core(patches, idx, w4, q_tile, interpret):
         in_specs=[
             pl.BlockSpec((1, K, QT), lambda b, i: (b, 0, i),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K, QT, 4), lambda b, i: (b, 0, i, 0),
+            pl.BlockSpec((1, K * 4, QT), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, D4), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -190,7 +204,7 @@ def _gather_core_bwd(q_tile, interpret, res, g):
         in_specs=[
             pl.BlockSpec((1, K, QT), lambda b, i: (b, 0, i),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K, QT, 4), lambda b, i: (b, 0, i, 0),
+            pl.BlockSpec((1, K * 4, QT), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, QT, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -200,12 +214,12 @@ def _gather_core_bwd(q_tile, interpret, res, g):
         out_specs=[
             pl.BlockSpec((1, S, D4), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, QT, 4), lambda b, i: (b, 0, i, 0),
+            pl.BlockSpec((1, K * 4, QT), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BM, S, D4), jnp.float32),
-            jax.ShapeDtypeStruct((BM, K, Qp, 4), jnp.float32),
+            jax.ShapeDtypeStruct((BM, K * 4, Qp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((K * QT, D4), jnp.float32),
@@ -256,12 +270,17 @@ def _build_patches_and_indices(
         patch_rows.append(p.reshape(B, M, H * W, 4 * D))
     patches = jnp.concatenate(patch_rows, 2).astype(jnp.float32)  # (B,M,S,4D)
 
+    # one up-front relayout to Q-minor; all index/weight math then runs on
+    # (..., Q)-minor arrays and the outputs land in the kernel's layouts
+    # with no further transposes
+    locq = sampling_locations.astype(jnp.float32).transpose(0, 2, 3, 4, 5, 1)
+    attq = attention_weights.astype(jnp.float32).transpose(0, 2, 3, 4, 1)
     idx_all, w_all = [], []
     for lid, (H, W) in enumerate(spatial_shapes):
-        loc = sampling_locations[:, :, :, lid].astype(jnp.float32)
-        attn = attention_weights[:, :, :, lid].astype(jnp.float32)
-        fx = loc[..., 0] * W - 0.5
-        fy = loc[..., 1] * H - 0.5
+        loc = locq[:, :, lid]  # (B, M, P, 2, Q)
+        attn = attq[:, :, lid]  # (B, M, P, Q)
+        fx = loc[:, :, :, 0] * W - 0.5
+        fy = loc[:, :, :, 1] * H - 0.5
         x0 = jnp.floor(fx)
         y0 = jnp.floor(fy)
         lx = fx - x0
@@ -281,19 +300,18 @@ def _build_patches_and_indices(
         wxp0 = wx0 * (sx == 0) + wx1 * (sx == -1)
         wxp1 = wx0 * (sx == 1) + wx1 * (sx == 0)
         w4 = jnp.stack(
-            [wyp0 * wxp0, wyp0 * wxp1, wyp1 * wxp0, wyp1 * wxp1], -1
-        ) * attn[..., None]
-        idx_all.append(starts_lvl[lid] + ys * W + xs)
+            [wyp0 * wxp0, wyp0 * wxp1, wyp1 * wxp0, wyp1 * wxp1], 3
+        ) * attn[:, :, :, None]  # (B, M, P, 4, Q)
+        idx_all.append(starts_lvl[lid] + ys * W + xs)  # (B, M, P, Q)
         w_all.append(w4)
 
-    # (B, M, Q, L, P) -> k-major (B*M, K, Q)
-    idx = jnp.stack(idx_all, 3).transpose(0, 2, 3, 4, 1)  # (B,M,L,P,Q)
-    w = jnp.stack(w_all, 3).transpose(0, 2, 3, 4, 1, 5)  # (B,M,L,P,Q,4)
     K = L * P
+    idx = jnp.stack(idx_all, 2)  # (B, M, L, P, Q)
+    w = jnp.stack(w_all, 2)  # (B, M, L, P, 4, Q)
     return (
         patches.reshape(B * M, S, 4 * D),
         idx.reshape(B * M, K, Q),
-        w.reshape(B * M, K, Q, 4),
+        w.reshape(B * M, K * 4, Q),
     )
 
 
@@ -327,7 +345,7 @@ def ms_deform_attn_pallas(
     Qp = (Q + q_tile - 1) // q_tile * q_tile
     if Qp != Q:
         idx = jnp.pad(idx, ((0, 0), (0, 0), (0, Qp - Q)))
-        w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
+        w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, Qp - Q)))
     out = _gather_core(patches, idx, w4, q_tile, interpret)  # (BM, Qp, D)
     out = out[:, :Q].reshape(B, M, Q, D).transpose(0, 2, 1, 3)
     return out.reshape(B, Q, M * D).astype(value.dtype)

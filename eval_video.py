@@ -12,7 +12,8 @@ import argparse
 def run_video_eval(cfg, model, variables, dataset_name: str,
                    max_videos: int = 0, short_edge: int = 360,
                    bucket: int = 640, max_frames: int = 40,
-                   t_buckets=(4, 8, 16, 24, 40)):
+                   t_buckets=(4, 8, 16, 24, 40),
+                   rank: int = 0, world_size: int = 1):
     """Clips are padded to the smallest of a few static frame-count buckets
     with a frame-validity mask (instead of one XLA compile per distinct
     video length T): the video decoder masks padded frames out of every
@@ -51,7 +52,12 @@ def run_video_eval(cfg, model, variables, dataset_name: str,
     predict = retry_if_oom(predict)
 
     n = 0
-    for dd in DatasetCatalog.get(dataset_name):
+    dicts = DatasetCatalog.get(dataset_name)
+    # per-host contiguous shard (InferenceSampler semantics); evaluator
+    # state is gathered across hosts before scoring
+    shard = (len(dicts) + world_size - 1) // world_size
+    dicts = dicts[rank * shard : (rank + 1) * shard]
+    for dd in dicts:
         T = min(dd["length"], max_frames)
         Tp = next((t for t in t_buckets if t >= T), t_buckets[-1])
         h, w = dd["height"], dd["width"]
@@ -131,7 +137,8 @@ def main():
         from bm2f_tpu.train.checkpoint import Checkpointer
 
         variables = Checkpointer(args.weights).restore_variables()
-    run_video_eval(cfg, model, variables, args.dataset, args.max_videos)
+    run_video_eval(cfg, model, variables, args.dataset, args.max_videos,
+                   rank=jax.process_index(), world_size=jax.process_count())
 
 
 if __name__ == "__main__":

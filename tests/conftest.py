@@ -26,7 +26,7 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/bm2f_jax_test_cache"),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

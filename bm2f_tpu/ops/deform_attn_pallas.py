@@ -65,14 +65,6 @@ def _expand_mat(D: int):
     return (l // D == c).astype(jnp.float32)
 
 
-def _hilo_dot(a, b):
-    """Exact-in-f32 MXU dot for arbitrary a against 0/1 b: split a into a
-    bf16 head and residual; bf16xbf16 products accumulate exactly in f32."""
-    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
-    a_lo = a - a_hi
-    return jax.lax.dot(a_hi, b) + jax.lax.dot(a_lo, b)
-
-
 def _gather_rows(idx_ref, table_ref, scratch_ref, QT, K):
     """scratch[k*QT + q] = table[idx[k, q]] — the scalar-issue hot loop."""
 

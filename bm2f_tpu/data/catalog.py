@@ -10,20 +10,29 @@ from typing import Any, Callable, Dict, List
 class _DatasetCatalog:
     def __init__(self):
         self._registry: Dict[str, Callable[[], List[dict]]] = {}
+        self._cache: Dict[str, List[dict]] = {}
+        self.allow_overwrite = False  # set by force re-registration
 
     def register(self, name: str, fn: Callable[[], List[dict]]):
-        if name in self._registry:
+        if name in self._registry and not self.allow_overwrite:
             raise KeyError(f"dataset {name!r} already registered")
         self._registry[name] = fn
+        self._cache.pop(name, None)
 
     def get(self, name: str) -> List[dict]:
-        return self._registry[name]()
+        # loaders parse large jsons AND populate MetadataCatalog as a side
+        # effect — cache so eval paths that need both the dicts and the
+        # metadata do the work once
+        if name not in self._cache:
+            self._cache[name] = self._registry[name]()
+        return self._cache[name]
 
     def list(self) -> List[str]:
         return sorted(self._registry)
 
     def remove(self, name: str):
         self._registry.pop(name)
+        self._cache.pop(name, None)
 
     def __contains__(self, name: str) -> bool:
         return name in self._registry

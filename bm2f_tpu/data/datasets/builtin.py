@@ -97,6 +97,8 @@ def register_all_builtin_datasets(root: Optional[str] = None,
     if _REGISTERED and not force:
         return
     _REGISTERED = True
+    if force:
+        DatasetCatalog.allow_overwrite = True
     root = root or _root()
 
     def j(*p):
@@ -229,3 +231,5 @@ def register_all_builtin_datasets(root: Optional[str] = None,
                     os.path.join(mv, split, "images"),
                     os.path.join(mv, split, "panoptic"),
                 )
+
+    DatasetCatalog.allow_overwrite = False

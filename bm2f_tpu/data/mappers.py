@@ -329,9 +329,14 @@ class EvalMapper:
         nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
         from bm2f_tpu.data.transforms import resize_image
 
-        image = resize_image(img, nh, nw).astype(np.float32)
         B = next((b for b in self.buckets if b >= max(nh, nw)),
                  self.buckets[-1])
+        if max(nh, nw) > B:
+            # extreme aspect ratios can exceed every bucket even under
+            # max_size (e.g. 512x1500 at short_edge 512): shrink to fit
+            s2 = B / max(nh, nw)
+            nh, nw = int(nh * s2), int(nw * s2)
+        image = resize_image(img, nh, nw).astype(np.float32)
         full = np.broadcast_to(self.pad_value, (B, B, 3)).copy()
         full[:nh, :nw] = image
         image = full

@@ -91,13 +91,15 @@ def sine_position_embedding_3d_masked(
     """Frame-masked video PE (reference PositionEmbeddingSine3D computes
     z_embed = not_mask.cumsum(1) / z_embed[:, -1:], so the temporal
     normalization sees only REAL frames): padding frames to a static T
-    bucket leaves the valid frames' embeddings bit-identical to a
-    true-length clip. frame_valid: (B, T) bool. Returns
-    (B, T, H, W, 2*num_pos_feats)."""
+    bucket leaves the valid frames' embeddings equal to a true-length
+    clip's up to f32 rounding (the temporal term is traced, so it runs in
+    f32; the unmasked static path precomputes in f64 — difference ~1e-7,
+    see the rtol in tests/test_video.py). frame_valid: (B, T) bool.
+    Returns (B, T, H, W, 2*num_pos_feats)."""
     B, t = frame_valid.shape
     scale = 2 * math.pi
     eps = 1e-6
-    fv = frame_valid.astype(jnp.float64)
+    fv = frame_valid.astype(jnp.float32)
     z = jnp.cumsum(fv, axis=1)  # (B, T): 1..T_true on valid frames
     t_true = z[:, -1:]
     z = z / (t_true + eps) * scale  # (B, T)

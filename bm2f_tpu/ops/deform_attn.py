@@ -135,8 +135,8 @@ def _ms_deform_attn_patch(value, spatial_shapes, sampling_locations, attention_w
         wx0 = (1 - lx) * ((x0i >= 0) & (x0i < W)).astype(dtype)
         wx1 = lx * ((x0i + 1 >= 0) & (x0i + 1 < W)).astype(dtype)
 
-        ys = jnp.clip(y0i, 0, H - 2)
-        xs = jnp.clip(x0i, 0, W - 2)
+        ys = jnp.clip(y0i, 0, max(H - 2, 0))
+        xs = jnp.clip(x0i, 0, max(W - 2, 0))
         # in-patch row/col of each corner after clamping (0 or 1; invalid
         # corners have zero weight so their position is irrelevant, but we
         # still clip it into the patch)
@@ -239,8 +239,8 @@ def _ms_deform_attn_im2col(value, spatial_shapes, sampling_locations,
         wx0 = (1 - lx) * ((x0i >= 0) & (x0i < W)).astype(dtype)
         wx1 = lx * ((x0i + 1 >= 0) & (x0i + 1 < W)).astype(dtype)
 
-        ys = jnp.clip(y0i, 0, H - 2)
-        xs = jnp.clip(x0i, 0, W - 2)
+        ys = jnp.clip(y0i, 0, max(H - 2, 0))
+        xs = jnp.clip(x0i, 0, max(W - 2, 0))
         sy = (y0i - ys).astype(dtype)  # 0 normally; 1 at bottom; -1 at top
         sx = (x0i - xs).astype(dtype)
         # per-axis weights placed at clamped in-patch rows/cols 0/1:

@@ -283,8 +283,8 @@ def _build_patches_and_indices(
         wy1 = ly * ((y0i + 1 >= 0) & (y0i + 1 < H))
         wx0 = (1 - lx) * ((x0i >= 0) & (x0i < W))
         wx1 = lx * ((x0i + 1 >= 0) & (x0i + 1 < W))
-        ys = jnp.clip(y0i, 0, H - 2)
-        xs = jnp.clip(x0i, 0, W - 2)
+        ys = jnp.clip(y0i, 0, max(H - 2, 0))
+        xs = jnp.clip(x0i, 0, max(W - 2, 0))
         sy = (y0i - ys).astype(jnp.float32)
         sx = (x0i - xs).astype(jnp.float32)
         wyp0 = wy0 * (sy == 0) + wy1 * (sy == -1)

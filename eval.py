@@ -262,12 +262,21 @@ def eval_panoptic(cfg, model, variables, dataset_name: str, max_images: int = 0,
     from bm2f_tpu.models.maskformer import panoptic_inference
     from bm2f_tpu.ops import resize_bilinear
 
+    from bm2f_tpu.data import DatasetCatalog
+
+    # materialize the dataset FIRST: panoptic registrations populate the
+    # thing/stuff id maps lazily inside their loader (data/coco.py), so
+    # reading metadata before DatasetCatalog.get would bake an all-stuff
+    # thing_mask into the jitted fusion
+    DatasetCatalog.get(dataset_name)
     meta = MetadataCatalog.get(dataset_name)
     num_classes = cfg.model.num_classes
-    stuff_map = getattr(meta, "stuff_dataset_id_to_contiguous_id", {})
     thing_map = getattr(meta, "thing_dataset_id_to_contiguous_id", {})
     thing_ids = set(thing_map.values())
     thing_mask = tuple(c in thing_ids for c in range(num_classes))
+    if not thing_ids:
+        print(f"WARNING: {dataset_name} registered no thing classes — "
+              "panoptic fusion will merge every class as stuff")
 
     evaluator = PanopticEvaluator(num_classes, thing_mask)
     predict = _predict_raw(cfg, model, variables)

@@ -33,7 +33,9 @@ def run_video_eval(cfg, model, variables, dataset_name: str,
     num_classes = cfg.model.num_classes
     topk = cfg.model.test.topk_per_video
     evaluator = YTVISEvaluator(num_classes)
-    t_buckets = tuple(sorted(set(min(t, max_frames) for t in t_buckets)))
+    # buckets must cover max_frames or the fallback bucket under-allocates
+    t_buckets = tuple(sorted(
+        {min(t, max_frames) for t in t_buckets} | {max_frames}))
 
     @jax.jit
     def predict(clip, frame_valid):

@@ -165,9 +165,18 @@ def test_run_eval_panoptic_dispatch():
             ],
         })
     name = "bm2f_eval_pan_synth"
-    _register(name, lambda: dicts, evaluator_type="coco_panoptic_seg",
-              thing_dataset_id_to_contiguous_id={1: 0, 2: 1},
-              stuff_dataset_id_to_contiguous_id={3: 2, 4: 3, 5: 4})
+
+    def load_lazy():
+        # the REAL panoptic registrars populate the thing/stuff maps only
+        # when the loader runs (data/coco.py); mirror that so eval_panoptic
+        # regressions that read metadata before materializing the dataset
+        # get caught here (all-False thing_mask -> everything fused as stuff)
+        MetadataCatalog.get(name).set(
+            thing_dataset_id_to_contiguous_id={1: 0, 2: 1},
+            stuff_dataset_id_to_contiguous_id={3: 2, 4: 3, 5: 4})
+        return dicts
+
+    _register(name, load_lazy, evaluator_type="coco_panoptic_seg")
 
     cfg = _tiny_cfg()
     model, variables = _tiny_model(cfg)
@@ -304,3 +313,17 @@ def test_per_host_loader_sharding_and_gathered_eval():
         r1.process(p, g)
     r0.merge_state(r1.state_dict())
     assert r0.evaluate() == single.evaluate()
+
+
+def test_eval_mapper_extreme_aspect_fits_bucket():
+    """A 512x1500 image (aspect > 2, real in ADE20K) exceeds every bucket at
+    short_edge 512 / max_size 2048; the mapper must shrink it to fit instead
+    of crashing on the canvas assignment."""
+    from bm2f_tpu.data.mappers import EvalMapper
+
+    m = EvalMapper(short_edge=512, max_size=2048, bucket=(512, 768, 1024),
+                   pad_value=(0.0, 0.0, 0.0))
+    s = m({"image": np.zeros((512, 1500, 3), np.uint8), "image_id": 0})
+    assert s["images"].shape == (1024, 1024, 3)
+    nh, nw = s["resized_hw"]
+    assert max(nh, nw) <= 1024 and nw > nh

@@ -84,6 +84,9 @@ def main():
     # per-host data sharding: each process loads its slice of the global
     # batch (reference: d2 per-GPU DataLoader shards)
     rank, world = jax.process_index(), jax.process_count()
+    assert cfg.train.ims_per_batch % world == 0, (
+        f"train.ims_per_batch={cfg.train.ims_per_batch} must divide evenly "
+        f"across {world} hosts (reference: data_video/build.py:21-35)")
     loader = build_train_loader(
         args.dataset, mapper, cfg.train.ims_per_batch // world,
         seed=cfg.train.seed, rank=rank, world_size=world,

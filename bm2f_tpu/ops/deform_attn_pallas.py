@@ -9,18 +9,24 @@ descriptors):
   wall is descriptor issue rate, not HBM bandwidth. This kernel keeps each
   (batch*head)'s im2col patch table VMEM-resident (constant-index input
   block, raised vmem limit) and drives a scalar-addressed VMEM row-copy
-  loop with indices prefetched to SMEM — measured ~2.4 ns per copy, and
-  ~18 ms/layer including the weighting epilogue (2.7x XLA).
+  loop with indices prefetched to SMEM — measured ~2.4 ns per copy;
+  17.2 ms/layer forward, 46.6 ms fwd+bwd (2.8x / 3.4x XLA end to end).
 
   Layout choices that matter (each measured):
   - k-major scratch (row for sample k of query q lives at k*QT + q): the
     K-reduction becomes K sublane-aligned (QT, 4D) slice FMAs; q-major
     needs a misaligned (QT, K, 4D) reduction (~+4 ms/layer).
-  - corner weights are expanded to row lanes with a tiny MXU dot against
-    a 0/1 selector E (4, 4D). A hi/lo split (w = f32(bf16(w)) + residual,
-    two default-precision dots) keeps the expansion exact in f32 at no
-    measurable cost; a single HIGHEST-precision dot costs ~3.4 ms/layer
-    more, and VPU select/broadcast formulations are slower still.
+  - weights are passed Q-MINOR as (BM, K*4, Qp) and expanded per k with
+    dot_general against a 0/1 selector E (4, 4D) — no transposes anywhere.
+    The earlier (.., QT, K, 4) blocks left 31/32 lanes of every weight
+    vreg empty and hid ~12 ms/layer of relayout + bandwidth across prep
+    and kernel. A hi/lo split (w = f32(bf16(w)) + residual, two
+    default-precision dots) keeps the expansion exact in f32 at no
+    measurable cost; a single HIGHEST-precision dot costs +3.4 ms/layer,
+    and VPU select/broadcast formulations are slower still.
+  - prep builds the patch table in the value dtype (bf16) and casts to
+    f32 once at the end (the lane-concat relayout halves in bf16), and
+    runs all index/weight math on Q-minor arrays.
   - the 4-corner -> D-channel fold is three lane-slice adds in-kernel
     (outputting (QT, 4D) and folding in XLA costs ~1 ms/layer more).
 

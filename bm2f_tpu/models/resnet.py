@@ -17,8 +17,10 @@ from flax import linen as nn
 
 from bm2f_tpu.models.layers import FrozenBatchNorm, c2_xavier_init
 
-# (num_blocks per stage) for each depth
+# (num_blocks per stage) for each depth; 14 = one bottleneck per stage
+# (dryrun/test-size model — same channel plan and feature strides as R50)
 RESNET_STAGES = {
+    14: (1, 1, 1, 1),
     50: (3, 4, 6, 3),
     101: (3, 4, 23, 3),
 }

@@ -241,6 +241,12 @@ class InputConfig:
     # () = single choice of image_size
     short_edge_choices: Tuple[int, ...] = ()
     max_size_train: int = 2048
+    # test-time resize protocol (reference MIN_SIZE_TEST/MAX_SIZE_TEST, e.g.
+    # Base-ADE20K-SemanticSegmentation.yaml:39-41 512/2048, Cityscapes
+    # 1024/2048, Mapillary 2048/2048; COCO = d2 defaults 800/1333). eval.py
+    # derives its static padding-bucket ladder from max_size_test
+    min_size_test: int = 800
+    max_size_test: int = 1333
     # crop width when != crop height (Cityscapes semantic crops (512, 1024),
     # Base-Cityscapes-SemanticSegmentation.yaml); 0 = square image_size
     crop_width: int = 0
@@ -418,6 +424,8 @@ def ade20k_base(task: str) -> Config:
         "input.image_size": size,
         "input.short_edge_choices": _se_choices(size),
         "input.max_size_train": 2048 if task == "semantic" else 2560,
+        "input.min_size_test": size,
+        "input.max_size_test": 2048 if task == "semantic" else 2560,
         "input.color_aug_ssd": True,
         "input.dataset_mapper": f"mask_former_{task}",
     }
@@ -436,6 +444,8 @@ def cityscapes_base(task: str) -> Config:
         "input.crop_width": 1024,
         "input.short_edge_choices": _se_choices(1024),
         "input.max_size_train": 4096,
+        "input.min_size_test": 1024,
+        "input.max_size_test": 2048,
         "input.color_aug_ssd": True,
         "input.dataset_mapper": f"mask_former_{task}",
     }
@@ -452,6 +462,8 @@ def mapillary_base(task: str) -> Config:
         "input.image_size": 1024,
         "input.short_edge_choices": _se_choices(2048),
         "input.max_size_train": 8192,
+        "input.min_size_test": 2048,
+        "input.max_size_test": 2048,
         "input.color_aug_ssd": True,
         "input.dataset_mapper": f"mask_former_{task}",
     }
@@ -470,6 +482,8 @@ def ytvis_base(year: int) -> Config:
         "model.num_frames": 2,
         "input.image_size": 512,
         "input.short_edge_choices": (360, 480),
+        "input.min_size_test": 360,  # Base-YouTubeVIS yaml:42
+        "input.max_size_test": 1333,  # d2 default (yaml leaves it unset)
         "input.dataset_mapper": "ytvis",
         "train.optimizer.max_iter": 6000 if year == 2019 else 8000,
         "train.optimizer.steps": (4000,) if year == 2019 else (5500,),
@@ -549,6 +563,8 @@ def _build_presets():
                     "input.image_size": 640,
                     "input.short_edge_choices": _se_choices(640),
                     "input.max_size_train": 2560,
+                    "input.min_size_test": 640,  # res640 yaml:20-22
+                    "input.max_size_test": 2560,
                 })
             return cfg
         p[f"ade20k_semantic_{bb}"] = mk_sem
@@ -576,8 +592,15 @@ def _build_presets():
     # --- YouTubeVIS ---
     for year in (2019, 2021):
         for bb in ("r50", "r101", "swin_t", "swin_s", "swin_b", "swin_l"):
-            p[f"ytvis{year}_video_{bb}"] = (
-                lambda year=year, bb=bb: _with_backbone(ytvis_base(year), bb))
+            def mk_vis(year=year, bb=bb):
+                cfg = _with_backbone(ytvis_base(year), bb)
+                # swin video configs test at 480 (e.g. youtubevis_2019/swin/
+                # video_maskformer2_swin_tiny_bs16_8ep.yaml:17); the 2021
+                # swin-L yaml leaves it commented out -> base 360
+                if bb.startswith("swin") and not (year == 2021 and bb == "swin_l"):
+                    cfg = update(cfg, {"input.min_size_test": 480})
+                return cfg
+            p[f"ytvis{year}_video_{bb}"] = mk_vis
     # BM2F weak-sup video variants (2021 + 2021_mini share the deltas)
     for mini in ("", "_mini"):
         base_name = f"ytvis2021{mini}_video_r50"

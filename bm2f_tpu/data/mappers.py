@@ -332,10 +332,15 @@ class EvalMapper:
         B = next((b for b in self.buckets if b >= max(nh, nw)),
                  self.buckets[-1])
         if max(nh, nw) > B:
-            # extreme aspect ratios can exceed every bucket even under
-            # max_size (e.g. 512x1500 at short_edge 512): shrink to fit
+            # only reachable with a custom bucket list whose top bucket is
+            # below ceil(max_size/32)*32 (eval.bucket_ladder always covers
+            # it): shrink to fit, and say so — this deviates from the
+            # reference's ResizeShortestEdge+MAX_SIZE_TEST protocol
             s2 = B / max(nh, nw)
             nh, nw = int(nh * s2), int(nw * s2)
+            print(f"WARNING: EvalMapper shrink-to-fit: image "
+                  f"{h}x{w} -> {nh}x{nw} exceeds the largest bucket {B}; "
+                  f"evaluating below the reference test resolution")
         image = resize_image(img, nh, nw).astype(np.float32)
         full = np.broadcast_to(self.pad_value, (B, B, 3)).copy()
         full[:nh, :nw] = image

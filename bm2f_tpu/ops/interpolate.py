@@ -69,6 +69,51 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return x
 
 
+def _dyn_bilinear_index_weights(src_size, dst_size, out_size: int):
+    """Traced-scalar variant of `_bilinear_index_weights`: source indices /
+    weights for resizing a dynamic src_size-long prefix region to a dynamic
+    dst_size-long prefix of a static out_size axis. Entries at i >= dst_size
+    clamp inside the source region (garbage the caller crops away).
+
+    The source position (i+0.5)*src/dst - 0.5 is handled as an EXACT int32
+    numerator (2i+1)*src - dst over 2*dst: the index comes from integer
+    floor division and the lambda weight from the integer REMAINDER (< 2*dst,
+    so full f32 precision). Computing s = num/(2*dst) in f32 and taking
+    s - floor(s) instead loses precision to ulp(s) ~ src_size * 2^-23
+    (measured 3e-4 absolute output error at 300-wide sources on TPU)."""
+    i = jnp.arange(out_size, dtype=jnp.int32)
+    num = (2 * i + 1) * src_size - dst_size  # exact in int32 (< 2^24 here)
+    num = jnp.maximum(num, 0)  # torch clamps the source position at 0
+    den = 2 * dst_size
+    i0 = jnp.minimum(num // den, src_size - 1)
+    i1 = jnp.minimum(i0 + 1, src_size - 1)
+    # remainder w.r.t. the UNCLAMPED index, so edge-clamped entries get
+    # w1 >= 1 with x0 == x1 (value unchanged), like the static path
+    w1 = (num - i0 * den).astype(jnp.float32) / den.astype(jnp.float32)
+    return i0, i1, 1.0 - w1, w1
+
+
+def resize_bilinear_dynamic(
+    x: jnp.ndarray, src_hw, dst_hw, out_h: int, out_w: int
+) -> jnp.ndarray:
+    """Bilinear-resize the dynamic (src_h, src_w) top-left region of a padded
+    static array to the (dst_h, dst_w) top-left region of a static
+    (out_h, out_w) output — same torch half-pixel index math as
+    `resize_bilinear`, with traced region sizes. Pixels beyond the dst region
+    hold edge-clamped garbage; crop or mask them downstream.
+
+    x: (..., H, W, C); src_hw/dst_hw: int32 scalars or (2,) arrays.
+    """
+    h_axis, w_axis = x.ndim - 3, x.ndim - 2
+    src_h, src_w = src_hw[0], src_hw[1]
+    dst_h, dst_w = dst_hw[0], dst_hw[1]
+    i0, i1, w0, w1 = _dyn_bilinear_index_weights(src_h, dst_h, out_h)
+    x = _interp_axis(x, h_axis, i0, i1, w0, w1)
+    i0, i1, w0, w1 = _dyn_bilinear_index_weights(src_w, dst_w, out_w)
+    x = _interp_axis(x, w_axis, i0, i1, w0, w1)
+    return x
+
+
 def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Nearest resize matching torch F.interpolate(..., mode='nearest').
 

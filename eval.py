@@ -178,7 +178,9 @@ def eval_semantic(cfg, model, variables, dataset_name: str, max_images: int = 0,
         from bm2f_tpu.models.tta import semantic_tta
 
         n = 0
-        for dd in DatasetCatalog.get(dataset_name):
+        # shard by rank like the non-TTA loader path (otherwise every host
+        # evaluates every image and the gather merges duplicates)
+        for dd in DatasetCatalog.get(dataset_name)[rank::world_size]:
             img = dd.get("image")
             if img is None:
                 img = read_image(dd["file_name"])
@@ -244,12 +246,14 @@ def eval_panoptic(cfg, model, variables, dataset_name: str, max_images: int = 0,
     """Panoptic PQ/SQ/RQ (reference: panoptic_inference
     maskformer_model.py:515-571 + d2 COCOPanopticEvaluator).
 
-    Fusion runs on device at the padded bucket size with padding pixels
-    masked out (logits forced to -1e9 beyond the resized region, so areas
-    and overlap pruning see only real pixels, like the reference's
-    crop-before-fusion); the fused query-id map is then cropped and
-    nearest-resized to the original size on the host and relabeled to
-    contiguous segment ids."""
+    Reference-faithful resize order (maskformer_model.py:337-371): mask
+    logits are bilinear-upsampled to the padded input size, the padding is
+    cropped off, the crop is bilinear-resized to the original image size
+    (sem_seg_postprocess), and only THEN does fusion run. On TPU the crop +
+    original-size resize is a dynamic-region bilinear gather into a static
+    original-size bucket (one light fusion compile per bucket pair), with
+    pixels beyond the original size masked to -1e9 so areas/overlap pruning
+    see only real pixels; the fused query-id map is cropped on the host."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -260,7 +264,7 @@ def eval_panoptic(cfg, model, variables, dataset_name: str, max_images: int = 0,
     from bm2f_tpu.evaluation.evaluator import gather_evaluator
     from bm2f_tpu.evaluation.panoptic_post import relabel_panoptic
     from bm2f_tpu.models.maskformer import panoptic_inference
-    from bm2f_tpu.ops import resize_bilinear
+    from bm2f_tpu.ops import resize_bilinear, resize_bilinear_dynamic
 
     from bm2f_tpu.data import DatasetCatalog
 
@@ -281,47 +285,63 @@ def eval_panoptic(cfg, model, variables, dataset_name: str, max_images: int = 0,
     evaluator = PanopticEvaluator(num_classes, thing_mask)
     predict = _predict_raw(cfg, model, variables)
 
-    @jax.jit
-    def predict_pan(images, valid_hw):
+    def fuse_one(images, valid_hw, orig_hw, out_bucket):
+        """Full reference order for ONE image; out_bucket is the static
+        original-size bucket, orig_hw the true (oh, ow) within it."""
         logits, masks = predict(images)
         H, W = images.shape[1], images.shape[2]
+        OH, OW = out_bucket
+        cls, m = logits[0], masks[0]
 
-        def one(cls, m, vhw):
-            mf = resize_bilinear(m.transpose(1, 2, 0), H, W).transpose(2, 0, 1)
-            yy = jnp.arange(H)[:, None] < vhw[0]
-            xx = jnp.arange(W)[None, :] < vhw[1]
-            mf = jnp.where(yy & xx, mf, -1e9)
-            return panoptic_inference(
-                cls, mf, num_classes=num_classes, thing_mask=thing_mask,
-                object_mask_threshold=cfg.model.test.object_mask_threshold,
-                overlap_threshold=cfg.model.test.overlap_threshold,
-            )
-
-        return jax.vmap(one)(logits, masks, valid_hw)
+        # 1. upsample mask logits to the padded input (reference :337)
+        mf = resize_bilinear(m.transpose(1, 2, 0), H, W)
+        # 2. crop padding + resize to the original size (sem_seg_postprocess)
+        mo = resize_bilinear_dynamic(mf, valid_hw, orig_hw, OH, OW)
+        mo = mo.transpose(2, 0, 1)  # (Q, OH, OW)
+        # mask bucket padding so fusion areas/argmax see only real pixels
+        yy = jnp.arange(OH)[:, None] < orig_hw[0]
+        xx = jnp.arange(OW)[None, :] < orig_hw[1]
+        mo = jnp.where(yy & xx, mo, -1e9)
+        # 3. fuse at the original size
+        return panoptic_inference(
+            cls, mo, num_classes=num_classes, thing_mask=thing_mask,
+            object_mask_threshold=cfg.model.test.object_mask_threshold,
+            overlap_threshold=cfg.model.test.overlap_threshold,
+        )
 
     from bm2f_tpu.utils.memory import retry_if_oom
 
-    predict_pan = retry_if_oom(predict_pan)
+    # one fusion compile per (input bucket, original-size bucket) pair;
+    # fusion numerics are bucket-independent (the resize/fusion only reads
+    # the real (oh, ow) region)
+    _fns = {}
+
+    def predict_pan(images, valid_hw, orig_hw, OH, OW):
+        key = (images.shape, OH, OW)
+        if key not in _fns:
+            _fns[key] = retry_if_oom(jax.jit(
+                lambda im, v, o: fuse_one(im, v, o, (OH, OW))
+            ))
+        return _fns[key](images, valid_hw, orig_hw)
+
+    def _orig_bucket(s: int) -> int:
+        return max(128, -(-s // 128) * 128)
 
     n = 0
     loader = _build_loader(cfg, dataset_name, short_edge, max_size, bucket,
                            rank, world_size, carry_dict=True)
     for batch in loader:
-        valid_hw = jnp.asarray(np.stack(batch["resized_hw"]))
-        pan_b = jax.tree.map(
-            np.asarray,
-            predict_pan(jnp.asarray(batch["images"]), valid_hw),
-        )
-        for i in range(valid_hw.shape[0]):
+        for i in range(len(batch["resized_hw"])):
             nh, nw = batch["resized_hw"][i]
             oh, ow = batch["orig_hw"][i]
-            pan = {k: v[i] for k, v in pan_b.items()}
+            pan = jax.tree.map(np.asarray, predict_pan(
+                jnp.asarray(batch["images"][i : i + 1]),
+                jnp.asarray((nh, nw), jnp.int32),
+                jnp.asarray((oh, ow), jnp.int32),
+                _orig_bucket(oh), _orig_bucket(ow),
+            ))
             seg_map, segments = relabel_panoptic(pan)
-            # crop + nearest resize of the categorical id map to orig size
-            crop = seg_map[:nh, :nw]
-            ys = (np.arange(oh) * nh / oh).astype(np.int64)
-            xs = (np.arange(ow) * nw / ow).astype(np.int64)
-            pred_map = crop[ys[:, None], xs[None, :]].astype(np.int64) - 1
+            pred_map = seg_map[:oh, :ow].astype(np.int64) - 1
             # evaluator wants -1 = void; relabel used 0 = void, ids from 1
             pred_segments = [
                 {"id": s["id"] - 1, "category_id": s["category_id"]}
@@ -347,18 +367,37 @@ def eval_panoptic(cfg, model, variables, dataset_name: str, max_images: int = 0,
     return res
 
 
+def bucket_ladder(max_size: int, steps=(0.5, 0.72, 1.0)):
+    """Static padding-bucket ladder for eval: the largest bucket is
+    ceil(max_size/32)*32, so the max_size-capped resize ALWAYS fits (no
+    silent shrink-to-fit); smaller buckets bound padding waste for typical
+    aspect ratios at the cost of one extra XLA compile each."""
+    top = -(-max_size // 32) * 32
+    return tuple(sorted({-(-int(top * f) // 32) * 32 for f in steps}))
+
+
 def run_eval(cfg, model, variables, dataset_name: str, max_images: int = 0,
-             short_edge: int = 800, max_size: int = 1333,
-             bucket=(704, 960, 1344), tta: bool = False,
+             short_edge: int = None, max_size: int = None,
+             bucket=None, tta: bool = False,
              rank: int = 0, world_size: int = 1):
     """Evaluator dispatch on the dataset's evaluator_type (reference:
-    train_net.py:68-148 build_evaluator)."""
+    train_net.py:68-148 build_evaluator). Test resolution comes from the
+    preset's MIN_SIZE_TEST/MAX_SIZE_TEST (cfg.input.min_size_test /
+    max_size_test — e.g. ADE20K 512, Cityscapes 1024, Mapillary 2048) unless
+    explicitly overridden."""
     from bm2f_tpu.data import MetadataCatalog
+
+    if short_edge is None:
+        short_edge = cfg.input.min_size_test
+    if max_size is None:
+        max_size = cfg.input.max_size_test
+    if bucket is None:
+        bucket = bucket_ladder(max_size)
 
     etype = getattr(MetadataCatalog.get(dataset_name), "evaluator_type", "coco")
     if etype == "sem_seg":
         return eval_semantic(cfg, model, variables, dataset_name, max_images,
-                             min(short_edge, 1024), max_size, bucket, tta,
+                             short_edge, max_size, bucket, tta,
                              rank, world_size)
     if etype == "coco_panoptic_seg":
         return eval_panoptic(cfg, model, variables, dataset_name, max_images,

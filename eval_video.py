@@ -10,15 +10,23 @@ import argparse
 
 
 def run_video_eval(cfg, model, variables, dataset_name: str,
-                   max_videos: int = 0, short_edge: int = 360,
-                   bucket: int = 640, max_frames: int = 40,
+                   max_videos: int = 0, short_edge: int = None,
+                   bucket=None, max_size: int = None, max_frames: int = 0,
                    t_buckets=(4, 8, 16, 24, 40),
                    rank: int = 0, world_size: int = 1):
     """Clips are padded to the smallest of a few static frame-count buckets
     with a frame-validity mask (instead of one XLA compile per distinct
     video length T): the video decoder masks padded frames out of every
     cross-attention, so predictions match true-length inference exactly
-    (tested in tests/test_video.py)."""
+    (tested in tests/test_video.py).
+
+    The WHOLE clip is evaluated in one forward like the reference
+    (video_maskformer_model.py:623-694): clips longer than the t_buckets
+    ladder get a ceil-to-8 bucket of their own (bounded compiles) rather
+    than being truncated. max_frames>0 opts into truncation and LOGS every
+    truncated clip. Spatial resolution follows the preset's
+    MIN_SIZE_TEST/MAX_SIZE_TEST unless overridden; the spatial bucket
+    ladder always covers the max_size-capped resize."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -30,12 +38,23 @@ def run_video_eval(cfg, model, variables, dataset_name: str,
     from bm2f_tpu.evaluation.ytvis_eval import YTVISEvaluator
     from bm2f_tpu.models.maskformer import normalize_images
 
+    if short_edge is None:
+        short_edge = cfg.input.min_size_test
+    if max_size is None:
+        max_size = cfg.input.max_size_test
+    if bucket is None:
+        # typical landscape (16:9) bucket, a tall-aspect middle step, and a
+        # top bucket that always fits the max_size cap
+        r32 = lambda s: -(-s // 32) * 32
+        bucket = tuple(sorted({r32(short_edge * 16 // 9),
+                               r32(short_edge * 2), r32(max_size)}))
+    s_buckets = tuple(sorted(
+        (bucket,) if isinstance(bucket, int) else tuple(bucket)))
+
     num_classes = cfg.model.num_classes
     topk = cfg.model.test.topk_per_video
     evaluator = YTVISEvaluator(num_classes)
-    # buckets must cover max_frames or the fallback bucket under-allocates
-    t_buckets = tuple(sorted(
-        {min(t, max_frames) for t in t_buckets} | {max_frames}))
+    t_buckets = tuple(sorted(t_buckets))
 
     @jax.jit
     def predict(clip, frame_valid):
@@ -60,12 +79,21 @@ def run_video_eval(cfg, model, variables, dataset_name: str,
     shard = (len(dicts) + world_size - 1) // world_size
     dicts = dicts[rank * shard : (rank + 1) * shard]
     for dd in dicts:
-        T = min(dd["length"], max_frames)
-        Tp = next((t for t in t_buckets if t >= T), t_buckets[-1])
+        T = dd["length"]
+        if max_frames and T > max_frames:
+            print(f"WARNING: truncating video {dd.get('video_id')} from "
+                  f"{T} to {max_frames} frames (max_frames set)")
+            T = max_frames
+        # smallest ladder bucket that fits, else a ceil-to-8 bucket of its
+        # own (whole-clip inference, no silent truncation)
+        Tp = next((t for t in t_buckets if t >= T), -(-T // 8) * 8)
         h, w = dd["height"], dd["width"]
         scale = short_edge / min(h, w)
+        if max(h, w) * scale > max_size:
+            scale = max_size / max(h, w)
         nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
-        clip = np.zeros((1, Tp, bucket, bucket, 3), np.float32)
+        S = next((b for b in s_buckets if b >= max(nh, nw)), s_buckets[-1])
+        clip = np.zeros((1, Tp, S, S, 3), np.float32)
         for t in range(T):
             img = read_image(dd["file_names"][t])
             clip[0, t, :nh, :nw] = resize_image(img, nh, nw)
@@ -78,7 +106,7 @@ def run_video_eval(cfg, model, variables, dataset_name: str,
         # restore original size on host
         k = sel.shape[0]
         m4 = sel.reshape(k * T, *sel.shape[2:])
-        full = resize_bilinear_np(m4, bucket, bucket)[:, :nh, :nw]
+        full = resize_bilinear_np(m4, S, S)[:, :nh, :nw]
         full = resize_bilinear_np(full, h, w).reshape(k, T, h, w)
         pred_masks = full > 0
 

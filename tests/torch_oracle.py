@@ -425,3 +425,145 @@ def torch_panoptic_inference(mask_cls, mask_pred, num_classes, thing_ids,
                  "category_id": int(pred_class)}
             )
     return panoptic_seg, segments_info
+
+
+# ---------------------------------------------------------------------------
+# video stack (reference: mask2former_video/) — 3D sine PE, clip decoder,
+# full video forward, track inference
+# ---------------------------------------------------------------------------
+
+
+def sine_pos_3d(t, h, w, num_pos_feats=128) -> torch.Tensor:
+    """Reference PositionEmbeddingSine3D (mask2former_video/.../
+    position_encoding.py:29-57), normalize=True over an all-valid mask.
+    Returns (T, C, H, W) with C = 2*num_pos_feats (pos = cat(y, x) + z)."""
+    not_mask = torch.ones(1, t, h, w)
+    z = not_mask.cumsum(1, dtype=torch.float32)
+    y = not_mask.cumsum(2, dtype=torch.float32)
+    x = not_mask.cumsum(3, dtype=torch.float32)
+    eps, scale = 1e-6, 2 * math.pi
+    z = z / (z[:, -1:, :, :] + eps) * scale
+    y = y / (y[:, :, -1:, :] + eps) * scale
+    x = x / (x[:, :, :, -1:] + eps) * scale
+    dim_t = torch.arange(num_pos_feats, dtype=torch.float32)
+    dim_t = 10000 ** (2 * torch.div(dim_t, 2, rounding_mode="floor") / num_pos_feats)
+    dim_t_z = torch.arange(num_pos_feats * 2, dtype=torch.float32)
+    dim_t_z = 10000 ** (
+        2 * torch.div(dim_t_z, 2, rounding_mode="floor") / (num_pos_feats * 2)
+    )
+    px = x[..., None] / dim_t
+    py = y[..., None] / dim_t
+    pz = z[..., None] / dim_t_z
+    px = torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()), dim=5).flatten(4)
+    py = torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()), dim=5).flatten(4)
+    pz = torch.stack((pz[..., 0::2].sin(), pz[..., 1::2].cos()), dim=5).flatten(4)
+    return (torch.cat((py, px), dim=4) + pz).permute(0, 1, 4, 2, 3)[0]
+
+
+def torch_video_decoder(sd, ms_feats, mask_features, num_classes=40,
+                        num_queries=100, dec_layers=9):
+    """VideoMultiScaleMaskedTransformerDecoder (reference
+    video_mask2former_transformer_decoder.py:380-460): clip-wide memory
+    T*H*W per level, masks via einsum bqc,btchw->bqthw (:449), attention
+    mask flattened over T*H*W (:453-458).
+
+    ms_feats: list of (B, T, C, H, W); mask_features: (B, T, C, h4, w4)."""
+    pre = "sem_seg_head.predictor"
+    heads = 8
+    C = 256
+    nL = 3
+    B, T = ms_feats[0].shape[:2]
+
+    srcs, poss, sizes = [], [], []
+    for i in range(nL):
+        x = ms_feats[i]
+        H, W = x.shape[-2:]
+        sizes.append((H, W))
+        srcs.append(
+            x.permute(0, 1, 3, 4, 2).reshape(B, T * H * W, C)
+            + _t(sd, f"{pre}.level_embed.weight")[i]
+        )
+        pe = sine_pos_3d(T, H, W, C // 2)  # (T, C, H, W)
+        poss.append(pe.permute(0, 2, 3, 1).reshape(1, T * H * W, C))
+
+    mf = mask_features
+
+    def heads_fn(output, attn_size):
+        dec = _ln(sd, f"{pre}.decoder_norm", output)
+        logits = _lin(sd, f"{pre}.class_embed", dec)
+        me = dec
+        for i in range(3):
+            me = _lin(sd, f"{pre}.mask_embed.layers.{i}", me)
+            if i < 2:
+                me = F.relu(me)
+        masks = torch.einsum("bqc,btchw->bqthw", me, mf)
+        am = F.interpolate(masks.flatten(0, 1), size=attn_size,
+                           mode="bilinear", align_corners=False)
+        am = am.reshape(B, num_queries, T * attn_size[0] * attn_size[1])
+        am = (am.sigmoid()[:, None].repeat(1, heads, 1, 1).flatten(0, 1)
+              < 0.5).bool()
+        am[torch.where(am.sum(-1) == am.shape[-1])] = False
+        return logits, masks, am.detach()
+
+    output = _t(sd, f"{pre}.query_feat.weight")[None].expand(B, num_queries, C)
+    qpos = _t(sd, f"{pre}.query_embed.weight")[None].expand(B, num_queries, C)
+
+    all_logits, all_masks = [], []
+    logits, masks, am = heads_fn(output, sizes[0])
+    all_logits.append(logits)
+    all_masks.append(masks)
+
+    for i in range(dec_layers):
+        li = i % nL
+        t2 = _mha(sd, f"{pre}.transformer_cross_attention_layers.{i}.multihead_attn",
+                  output + qpos, srcs[li] + poss[li], srcs[li], attn_mask=am)
+        output = _ln(sd, f"{pre}.transformer_cross_attention_layers.{i}.norm",
+                     output + t2)
+        t2 = _mha(sd, f"{pre}.transformer_self_attention_layers.{i}.self_attn",
+                  output + qpos, output + qpos, output)
+        output = _ln(sd, f"{pre}.transformer_self_attention_layers.{i}.norm",
+                     output + t2)
+        fp = f"{pre}.transformer_ffn_layers.{i}"
+        t2 = _lin(sd, f"{fp}.linear2", F.relu(_lin(sd, f"{fp}.linear1", output)))
+        output = _ln(sd, f"{fp}.norm", output + t2)
+        logits, masks, am = heads_fn(output, sizes[(i + 1) % nL])
+        all_logits.append(logits)
+        all_masks.append(masks)
+
+    return {
+        "pred_logits": all_logits[-1],
+        "pred_masks": all_masks[-1],
+        "aux_logits": torch.stack(all_logits[:-1]),
+        "aux_masks": torch.stack(all_masks[:-1]),
+    }
+
+
+def torch_video_mask2former_forward(sd, clip_ntchw: torch.Tensor,
+                                    num_classes=40, num_queries=100,
+                                    dec_layers=9):
+    """Full reference video forward on a normalized clip (B, T, 3, H, W):
+    frames flattened through backbone + pixel decoder in one pass
+    (video_maskformer_model.py:316-324), then the clip decoder."""
+    B, T = clip_ntchw.shape[:2]
+    feats = torch_resnet50(sd, clip_ntchw.flatten(0, 1))
+    mask_features, ms = torch_pixel_decoder(sd, feats)
+    ms_v = [m.reshape(B, T, *m.shape[1:]) for m in ms]
+    mf_v = mask_features.reshape(B, T, *mask_features.shape[1:])
+    return torch_video_decoder(sd, ms_v, mf_v, num_classes, num_queries,
+                               dec_layers)
+
+
+def torch_inference_video(pred_cls, pred_masks, num_classes, topk=10):
+    """Track inference (reference video_maskformer_model.py:676-694): top-k
+    over the flattened Q x K score matrix; masks thresholded at 0. Returns
+    (scores (k,), labels (k,), masks (k, T, H, W) bool), sorted by score
+    (the reference uses sorted=False; order is irrelevant to track AP)."""
+    scores = F.softmax(pred_cls, dim=-1)[:, :-1]
+    num_queries = pred_cls.shape[0]
+    labels = (torch.arange(num_classes)[None].repeat(num_queries, 1)
+              .flatten(0, 1))
+    scores_per_video, topk_indices = scores.flatten(0, 1).topk(topk)
+    labels_per_video = labels[topk_indices]
+    qidx = torch.div(topk_indices, num_classes, rounding_mode="floor")
+    masks = pred_masks[qidx] > 0.0
+    return scores_per_video, labels_per_video, masks

@@ -99,13 +99,23 @@ def main():
     ckpt = Checkpointer(os.path.join(args.output, "checkpoints"))
     state = ckpt.resume_or_load(state, resume=args.resume)
 
-    if args.eval_only:
+    def dispatch_eval(variables, dataset):
+        """Image vs video evaluator dispatch (reference: train_net.py:68-148
+        vs train_net_video.py:59-99 — the video trainer always evaluates
+        with YTVISEvaluator)."""
+        if cfg.task == "video":
+            from eval_video import run_video_eval  # noqa: local CLI module
+
+            return run_video_eval(cfg, trainer.model, variables, dataset,
+                                  rank=rank, world_size=world)
         from eval import run_eval  # noqa: local CLI module
 
-        run_eval(cfg, trainer.model,
-                 {"params": state.params, "frozen": state.frozen},
-                 args.eval_dataset or args.dataset,
-                 rank=jax.process_index(), world_size=jax.process_count())
+        return run_eval(cfg, trainer.model, variables, dataset,
+                        rank=rank, world_size=world)
+
+    if args.eval_only:
+        dispatch_eval({"params": state.params, "frozen": state.frozen},
+                      args.eval_dataset or args.dataset)
         return
 
     step_fn = trainer.compile_step(state)
@@ -153,13 +163,10 @@ def main():
         # TEST.EVAL_PERIOD, train_net.py:68-148 evaluator dispatch)
         if (cfg.train.eval_period and args.eval_dataset
                 and it % cfg.train.eval_period == 0 and it < max_iter):
-            from eval import run_eval  # noqa: local CLI module
-
-            eval_res = run_eval(
-                cfg, trainer.model,
+            eval_res = dispatch_eval(
                 {"params": jax.device_get(state.params),
                  "frozen": jax.device_get(state.frozen)},
-                args.eval_dataset, rank=rank, world_size=world,
+                args.eval_dataset,
             )
             storage.put_scalars(it, **{f"eval/{k}": float(v)
                                        for k, v in eval_res.items()})

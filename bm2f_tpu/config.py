@@ -81,6 +81,9 @@ class PixelDecoderConfig:
     # the layer's dominant transient (the gathered-rows tensor) for training
     # memory headroom at large resolutions
     deform_q_chunks: int = 1
+    # Pallas kernel query-tile size (queries per grid step; bigger tiles
+    # amortize per-step overhead against VMEM scratch size)
+    deform_q_tile: int = 1024
     # deformable-sampling implementation: "auto" picks the hand-written
     # Pallas kernel on TPU (measured ~3.4x XLA's gather emitter) and the
     # XLA im2col formulation elsewhere; explicit values:

@@ -59,6 +59,7 @@ class MSDeformAttnModule(nn.Module):
     dtype: Any = jnp.float32
     impl: str = "im2col"
     q_chunks: int = 1
+    q_tile: int = 256
 
     @nn.compact
     def __call__(self, query, reference_points, value_src, spatial_shapes):
@@ -79,6 +80,43 @@ class MSDeformAttnModule(nn.Module):
             name="value_proj",
         )(value_src)  # (B, S, M, D) or head-major (B, M, S, D)
 
+        # normalizer per level: (W, H) (reference ms_deform_attn.py:107-109)
+        normalizer = jnp.asarray(
+            [[w, h] for h, w in spatial_shapes], dtype=jnp.float32
+        )  # (L, 2)
+
+        if impl == "pallas":
+            from bm2f_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
+
+            # Q-minor prep: projections emit (F, B, Q) straight from
+            # dot_general; every downstream operand keeps Q minor, the
+            # layout the Pallas kernel consumes — no lane relayouts
+            offsets = _QMinorProj(
+                M * L * P * 2, kernel_init=nn.initializers.zeros,
+                bias_init=_offset_bias_ring_init(M, L, P), dtype=self.dtype,
+                name="sampling_offsets",
+            )(query).reshape(M, L, P, 2, B, Q).transpose(4, 0, 1, 2, 3, 5)
+            attn = _QMinorProj(
+                M * L * P, kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
+                name="attention_weights",
+            )(query).reshape(M, L * P, B, Q)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=1)
+            attn = attn.reshape(M, L, P, B, Q).transpose(3, 0, 1, 2, 4)
+            ref_t = reference_points.transpose(1, 2, 0)  # (L, 2, Q) const
+            loc = (
+                ref_t[None, None, :, None]
+                + offsets.astype(jnp.float32)
+                / normalizer[None, None, :, None, :, None]
+            )  # (B, M, L, P, 2, Q)
+            out = ms_deform_attn_pallas(
+                value, spatial_shapes, loc, attn,
+                head_major=True, q_minor=True, out_head_major=True,
+                q_tile=self.q_tile,
+            )  # (B, M, Q, D) f32
+            return _HeadMajorOutProj(C, M, dtype=self.dtype,
+                                     name="output_proj")(out)
+
         offsets = nn.Dense(
             M * L * P * 2,
             kernel_init=nn.initializers.zeros,
@@ -97,28 +135,63 @@ class MSDeformAttnModule(nn.Module):
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         attn = attn.reshape(B, Q, M, L, P)
 
-        # normalizer per level: (W, H) (reference ms_deform_attn.py:107-109)
-        normalizer = jnp.asarray(
-            [[w, h] for h, w in spatial_shapes], dtype=jnp.float32
-        )  # (L, 2)
         loc = (
             reference_points[None, :, None, :, None, :]
             + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
         )
 
-        if impl == "pallas":
-            from bm2f_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
-
-            out = ms_deform_attn_pallas(value, spatial_shapes, loc, attn,
-                                        head_major=True)
-        else:
-            out = ms_deform_attn(value, spatial_shapes, loc, attn, impl=impl,
-                                 q_chunks=self.q_chunks)
+        out = ms_deform_attn(value, spatial_shapes, loc, attn, impl=impl,
+                             q_chunks=self.q_chunks)
         out = nn.Dense(
             C, kernel_init=xavier_uniform, bias_init=nn.initializers.zeros,
             dtype=self.dtype, name="output_proj",
         )(out)
         return out
+
+
+class _QMinorProj(nn.Module):
+    """Linear projection emitting a Q-MINOR (F, B, Q) output straight from
+    dot_general (kernel (C, F) contracted on C against (B, Q, C)) — the
+    deform-attn kernel wants every per-query operand Q-minor, and producing
+    it at the matmul avoids a (B, Q, F) -> (..., Q) lane relayout of ~5M
+    floats per layer. Param tree matches nn.Dense (kernel + bias)."""
+
+    features: int
+    kernel_init: Any = xavier_uniform
+    bias_init: Any = nn.initializers.zeros
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        y = jax.lax.dot_general(
+            kernel.astype(self.dtype), x.astype(self.dtype),
+            (((0,), (2,)), ((), ())),
+        )  # (F, B, Q)
+        return y + bias.astype(self.dtype)[:, None, None]
+
+
+class _HeadMajorOutProj(nn.Module):
+    """Output projection consuming the kernel's native (B, M, Q, D) layout:
+    einsum bmqd,mdc->bqc folds the heads inside the matmul instead of an
+    explicit (B, M, Q, D) -> (B, Q, M*D) relayout. Param tree matches
+    nn.Dense("output_proj") (kernel (M*D, C) + bias)."""
+
+    features: int
+    n_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C, M = self.features, self.n_heads
+        D = C // M
+        kernel = self.param("kernel", xavier_uniform, (M * D, C))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        k = kernel.reshape(M, D, C).astype(self.dtype)
+        y = jnp.einsum("bmqd,mdc->bqc", x.astype(self.dtype), k)
+        return y + bias.astype(self.dtype)
 
 
 class _ValueProj(nn.Module):
@@ -160,13 +233,14 @@ class DeformableEncoderLayer(nn.Module):
     dtype: Any = jnp.float32
     impl: str = "im2col"
     q_chunks: int = 1
+    q_tile: int = 256
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes):
         attn_out = MSDeformAttnModule(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             dtype=self.dtype, impl=self.impl, q_chunks=self.q_chunks,
-            name="self_attn",
+            q_tile=self.q_tile, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes)
         src = src + attn_out
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
@@ -261,6 +335,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 dtype=self.dtype,
                 impl=self.deform_impl or getattr(cfg, "deform_impl", "im2col"),
                 q_chunks=cfg.deform_q_chunks,
+                q_tile=getattr(cfg, "deform_q_tile", 256),
                 name=f"encoder_layer_{li}",
             )(src, pos, ref_points, shapes)
 

@@ -139,8 +139,16 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         mask_embed_mlp = MLP(C, cfg.mask_dim, 3, dtype=self.dtype, name="mask_embed")
 
         mf = mask_features.astype(self.dtype)
+        # mask features pre-resized to each attention resolution: the
+        # attention mask is resize(einsum(membed, mf)) in the reference
+        # (:446-450), and bilinear resize commutes with the channel
+        # contraction (both linear, disjoint axes), so einsum(membed,
+        # resize(mf)) is the same mask — computed against a (h*w, C) table
+        # resized ONCE instead of resizing a (B, Q, H4, W4) tensor at every
+        # prediction head (~4 GB of resize traffic per forward at 800^2)
+        mf_lvl = [resize_bilinear(mf, h, w) for (h, w) in sizes]
 
-        def prediction_heads(output, attn_size):
+        def prediction_heads(output, lvl):
             dec = decoder_norm(output)
             logits = class_embed(dec)
             membed = mask_embed_mlp(dec)
@@ -148,9 +156,7 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             # attention bias for the next layer: block where interpolated
             # sigmoid < 0.5 (reference :446-450), detached; degenerate
             # all-blocked rows are fully unblocked (reference :400).
-            am = resize_bilinear(
-                masks[..., None], attn_size[0], attn_size[1]
-            )[..., 0]  # (B, Q, h, w)
+            am = jnp.einsum("bqc,bhwc->bqhw", membed, mf_lvl[lvl])
             blocked = jax.nn.sigmoid(am.astype(jnp.float32)) < 0.5
             blocked = blocked.reshape(B, cfg.num_queries, -1)
             all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
@@ -163,7 +169,7 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         qpos = jnp.broadcast_to(query_embed[None], (B, cfg.num_queries, C)).astype(self.dtype)
 
         all_logits, all_masks = [], []
-        logits, masks, bias = prediction_heads(output, sizes[0])
+        logits, masks, bias = prediction_heads(output, 0)
         all_logits.append(logits)
         all_masks.append(masks)
 
@@ -180,7 +186,7 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
                 C, cfg.dim_feedforward, cfg.pre_norm, dtype=self.dtype,
                 name=f"ffn_{i}",
             )(output)
-            logits, masks, bias = prediction_heads(output, sizes[(i + 1) % nL])
+            logits, masks, bias = prediction_heads(output, (i + 1) % nL)
             all_logits.append(logits)
             all_masks.append(masks)
 

@@ -235,7 +235,7 @@ _gather_core.defvjp(_gather_core_fwd, _gather_core_bwd)
 
 def _build_patches_and_indices(
     value, spatial_shapes, sampling_locations, attention_weights,
-    head_major: bool = False,
+    head_major: bool = False, q_minor: bool = False,
 ):
     """Same im2col preprocessing as ops/deform_attn.py `_ms_deform_attn_im2col`
     (see there for the border-clamp weight placement proof): per-pixel 2x2
@@ -250,7 +250,10 @@ def _build_patches_and_indices(
     else:
         B, S, M, D = value.shape
         vbm = value.transpose(0, 2, 1, 3)
-    _, Q, _, L, P, _ = sampling_locations.shape
+    if q_minor:
+        _, _, L, P, _, Q = sampling_locations.shape
+    else:
+        _, Q, _, L, P, _ = sampling_locations.shape
     starts_lvl = level_start_index(spatial_shapes)
 
     # build the 2x2-neighborhood rows in the VALUE dtype and cast to f32
@@ -270,9 +273,15 @@ def _build_patches_and_indices(
 
     # one up-front relayout to Q-minor; all index/weight math then runs on
     # (..., Q)-minor arrays and the outputs land in the kernel's layouts
-    # with no further transposes
-    locq = sampling_locations.astype(jnp.float32).transpose(0, 2, 3, 4, 5, 1)
-    attq = attention_weights.astype(jnp.float32).transpose(0, 2, 3, 4, 1)
+    # with no further transposes. With q_minor=True the caller already
+    # produced Q-minor (B, M, L, P, [2,] Q) arrays (e.g. straight from the
+    # projection matmuls) and even that relayout is skipped.
+    if q_minor:
+        locq = sampling_locations.astype(jnp.float32)
+        attq = attention_weights.astype(jnp.float32)
+    else:
+        locq = sampling_locations.astype(jnp.float32).transpose(0, 2, 3, 4, 5, 1)
+        attq = attention_weights.astype(jnp.float32).transpose(0, 2, 3, 4, 1)
     idx_all, w_all = [], []
     for lid, (H, W) in enumerate(spatial_shapes):
         loc = locq[:, :, lid]  # (B, M, P, 2, Q)
@@ -322,14 +331,26 @@ def ms_deform_attn_pallas(
     q_tile: int = 256,
     interpret: bool | None = None,
     head_major: bool = False,
+    q_minor: bool = False,
+    out_head_major: bool = False,
 ) -> jnp.ndarray:
     """Drop-in for ops.ms_deform_attn (same contract; see deform_attn.py).
-    head_major=True: value is (B, M, S, D) instead of (B, S, M, D)."""
+    head_major=True: value is (B, M, S, D) instead of (B, S, M, D).
+    q_minor=True: sampling_locations is (B, M, L, P, 2, Q) and
+      attention_weights (B, M, L, P, Q) — the layouts the kernel wants,
+      skipping the up-front relayout (the module's projections can emit
+      these directly from dot_general).
+    out_head_major=True: return (B, M, Q, D) f32 in the kernel's native
+      layout; the caller folds heads in its output projection (einsum
+      bmqd,mdc->bqc) instead of paying an explicit relayout here."""
     if head_major:
         B, M, S, D = value.shape
     else:
         B, S, M, D = value.shape
-    _, Q, _, L, P, _ = sampling_locations.shape
+    if q_minor:
+        Q = sampling_locations.shape[-1]
+    else:
+        Q = sampling_locations.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if interpret is True:
@@ -337,7 +358,7 @@ def ms_deform_attn_pallas(
         interpret = pltpu.InterpretParams()
     patches, idx, w4 = _build_patches_and_indices(
         value, spatial_shapes, sampling_locations, attention_weights,
-        head_major=head_major,
+        head_major=head_major, q_minor=q_minor,
     )
     q_tile = min(q_tile, ((Q + 7) // 8) * 8)
     Qp = (Q + q_tile - 1) // q_tile * q_tile
@@ -345,5 +366,7 @@ def ms_deform_attn_pallas(
         idx = jnp.pad(idx, ((0, 0), (0, 0), (0, Qp - Q)))
         w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, Qp - Q)))
     out = _gather_core(patches, idx, w4, q_tile, interpret)  # (BM, Qp, D)
+    if out_head_major:
+        return out[:, :Q].reshape(B, M, Q, D)
     out = out[:, :Q].reshape(B, M, Q, D).transpose(0, 2, 1, 3)
     return out.reshape(B, Q, M * D).astype(value.dtype)

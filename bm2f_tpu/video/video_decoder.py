@@ -88,17 +88,19 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
         )
         mask_embed_mlp = MLP(C, cfg.mask_dim, 3, dtype=self.dtype, name="mask_embed")
         mf = mask_features.astype(self.dtype)
-        h4, w4 = mf.shape[2], mf.shape[3]
+        # per-level pre-resized mask features: bilinear resize commutes with
+        # the channel contraction (see the image decoder), so the attention
+        # mask comes from one small einsum instead of resizing the
+        # (B, Q, T, h4, w4) mask tensor at every prediction head
+        mf_lvl = [resize_bilinear(mf, h, w) for (h, w) in sizes]
 
-        def prediction_heads(output, attn_size):
+        def prediction_heads(output, attn_size, lvl):
             dec = decoder_norm(output)
             logits = class_embed(dec)
             membed = mask_embed_mlp(dec)
             masks = jnp.einsum("bqc,bthwc->bqthw", membed, mf)
-            am = resize_bilinear(
-                masks.reshape(B * cfg.num_queries * T, h4, w4, 1),
-                attn_size[0], attn_size[1],
-            ).reshape(B, cfg.num_queries, T * attn_size[0] * attn_size[1])
+            am = jnp.einsum("bqc,bthwc->bqthw", membed, mf_lvl[lvl]).reshape(
+                B, cfg.num_queries, T * attn_size[0] * attn_size[1])
             blocked = jax.nn.sigmoid(am.astype(jnp.float32)) < 0.5
             if frame_valid is not None:
                 inval = jnp.repeat(
@@ -125,7 +127,7 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
         ).astype(self.dtype)
 
         all_logits, all_masks = [], []
-        logits, masks, bias = prediction_heads(output, sizes[0])
+        logits, masks, bias = prediction_heads(output, sizes[0], 0)
         all_logits.append(logits)
         all_masks.append(masks)
 
@@ -143,7 +145,8 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
                 C, cfg.dim_feedforward, cfg.pre_norm, dtype=self.dtype,
                 name=f"ffn_{i}",
             )(output)
-            logits, masks, bias = prediction_heads(output, sizes[(i + 1) % nL])
+            logits, masks, bias = prediction_heads(
+                output, sizes[(i + 1) % nL], (i + 1) % nL)
             all_logits.append(logits)
             all_masks.append(masks)
 

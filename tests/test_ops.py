@@ -155,6 +155,7 @@ def test_ms_deform_attn_pallas_interpret_matches(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ms_deform_attn_pallas_grads_match(rng):
     """Custom-VJP kernels (d_patches scatter + d_w4 re-gather) against XLA
     autodiff of the im2col path, all three grads."""
@@ -212,3 +213,66 @@ def test_ms_deform_attn_pallas_head_major_parity(rng):
     b = ms_deform_attn_pallas(value.transpose(0, 2, 1, 3), shapes, loc, attn,
                               q_tile=8, interpret=True, head_major=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_ms_deform_attn_pallas_q_minor_out_head_major_parity(rng):
+    """Round-3 prep-fusion flags: Q-minor loc/attn inputs + head-major
+    output must match the standard-layout call exactly."""
+    from bm2f_tpu.ops.deform_attn_pallas import ms_deform_attn_pallas
+
+    B, M, D, P = 2, 2, 32, 4
+    shapes = ((8, 8), (4, 4))
+    S = sum(h * w for h, w in shapes)
+    Q, L = 20, 2
+    value = jnp.asarray(rng.randn(B, S, M, D).astype(np.float32))
+    loc = jnp.asarray((rng.rand(B, Q, M, L, P, 2) * 1.2 - 0.1).astype(np.float32))
+    attn = jnp.asarray((rng.rand(B, Q, M, L, P) / 8).astype(np.float32))
+
+    ref = ms_deform_attn_pallas(value, shapes, loc, attn, q_tile=8,
+                                interpret=True)
+    got = ms_deform_attn_pallas(
+        value.transpose(0, 2, 1, 3), shapes,
+        loc.transpose(0, 2, 3, 4, 5, 1), attn.transpose(0, 2, 3, 4, 1),
+        q_tile=8, interpret=True,
+        head_major=True, q_minor=True, out_head_major=True,
+    )  # (B, M, Q, D)
+    got = np.asarray(got).transpose(0, 2, 1, 3).reshape(B, Q, M * D)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_msdeform_module_pallas_path_matches_im2col(rng):
+    """MSDeformAttnModule's fused pallas branch (_QMinorProj projections +
+    head-major output proj) == the nn.Dense im2col branch with the SAME
+    param tree (converter/checkpoint compatibility depends on it)."""
+    import jax
+
+    from bm2f_tpu.models.pixel_decoder import (
+        MSDeformAttnModule, encoder_reference_points,
+    )
+
+    B, C, M, L, P = 2, 64, 4, 2, 4
+    shapes = ((8, 8), (4, 4))
+    S = sum(h * w for h, w in shapes)
+    query = jnp.asarray(rng.randn(B, S, C).astype(np.float32))
+    src = jnp.asarray(rng.randn(B, S, C).astype(np.float32))
+    refs = encoder_reference_points(shapes)
+
+    mod_i = MSDeformAttnModule(C, L, M, P, impl="im2col")
+    mod_p = MSDeformAttnModule(C, L, M, P, impl="pallas")
+    vars_p = mod_p.init(jax.random.PRNGKey(0), query, refs, src, shapes)
+    vars_i = mod_i.init(jax.random.PRNGKey(0), query, refs, src, shapes)
+    # identical param trees (names AND shapes)
+    ti = jax.tree_util.tree_structure(vars_i)
+    tp = jax.tree_util.tree_structure(vars_p)
+    assert ti == tp, (ti, tp)
+    # random (not zero-init) weights so the comparison is non-trivial
+    leaves, treedef = jax.tree_util.tree_flatten(vars_i)
+    leaves = [jnp.asarray(rng.randn(*l.shape).astype(np.float32) * 0.05)
+              for l in leaves]
+    variables = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    out_i = mod_i.apply(variables, query, refs, src, shapes)
+    out_p = mod_p.apply(variables, query, refs, src, shapes)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_i),
+                               rtol=2e-4, atol=2e-5)

@@ -10,7 +10,11 @@ dependency get pipelined/deduped):
   - transformer decoder only
 """
 
+import os
 import time
+
+os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "true")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
 import jax.numpy as jnp

@@ -104,15 +104,29 @@ def main():
         out = model.apply(variables, normalize_images(x, cfg.model))
         return out["pred_logits"], out["pred_masks"]
 
-    for path in args.input:
+    # overlapped pipeline (reference: demo/predictor.py:131-199
+    # AsyncPredictor): a loader thread reads + pads the next image while the
+    # device runs inference and this thread visualizes the previous result
+    from bm2f_tpu.utils.async_predictor import AsyncPredictor
+
+    def preprocess(path):
         img = read_image(path)
         H, W = img.shape[:2]
-        # pad to divisibility
         d = cfg.model.size_divisibility
         ph, pw = (H + d - 1) // d * d, (W + d - 1) // d * d
         x = np.zeros((1, ph, pw, 3), np.float32)
         x[0, :H, :W] = img
-        logits, masks = predict(jnp.asarray(x))
+        return {"img": img, "x": x, "hw": (H, W), "phw": (ph, pw)}
+
+    def run_model(inp):
+        logits, masks = predict(jnp.asarray(inp["x"]))
+        return inp, logits, masks
+
+    def visualize(path, result):
+        inp, logits, masks = result
+        img = inp["img"]
+        H, W = inp["hw"]
+        ph, pw = inp["phw"]
         masks_full = resize_bilinear(
             masks[0].transpose(1, 2, 0), ph, pw
         ).transpose(2, 0, 1)[:, :H, :W]
@@ -147,6 +161,11 @@ def main():
 
         Image.fromarray(vis).save(out_path)
         print(f"wrote {out_path}")
+        return out_path
+
+    pipeline = AsyncPredictor(run_model, preprocess, visualize)
+    for _ in pipeline(args.input):
+        pass
 
 
 if __name__ == "__main__":

@@ -184,6 +184,7 @@ def test_restore_variables_from_trainstate_checkpoint(tmp_path):
     assert set(v2) == {"params"}
 
 
+@pytest.mark.slow
 def test_convert_checkpoint_structure_matches_model():
     """The d2-name converter must produce exactly the model's tree."""
     from bm2f_tpu.config import get_config
@@ -353,6 +354,7 @@ def test_convert_checkpoint_structure_matches_model():
     assert ref_frozen == got_frozen
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_equivalence(tmp_path):
     """Resume-from-checkpoint must continue identically to an uninterrupted
     run (reference: DetectionCheckpointer resume semantics)."""
@@ -399,3 +401,47 @@ def test_checkpoint_resume_equivalence(tmp_path):
     np.testing.assert_allclose(
         float(m_direct["total_loss"]), float(m_resumed["total_loss"]), rtol=1e-5
     )
+
+
+def test_async_predictor_order_overlap_and_errors():
+    """AsyncPredictor (reference demo/predictor.py:131-199 analogue):
+    results come back in submission order, the loader runs concurrently
+    with prediction, and loader exceptions surface to the caller."""
+    import time
+    import threading
+
+    from bm2f_tpu.utils.async_predictor import AsyncPredictor
+
+    seen = []
+    loader_thread_ids = set()
+
+    def preprocess(i):
+        loader_thread_ids.add(threading.get_ident())
+        time.sleep(0.01)
+        return i * 10
+
+    def predict(x):
+        return x + 1
+
+    def post(item, out):
+        seen.append(item)
+        return out
+
+    p = AsyncPredictor(predict, preprocess, post, depth=2)
+    results = list(p(range(8)))
+    assert [r for _, r in results] == [i * 10 + 1 for i in range(8)]
+    assert [it for it, _ in results] == list(range(8))
+    assert seen == list(range(8))
+    assert threading.get_ident() not in loader_thread_ids
+
+    def bad_preprocess(i):
+        if i == 3:
+            raise ValueError("boom")
+        return i
+
+    p2 = AsyncPredictor(predict, bad_preprocess)
+    try:
+        list(p2(range(8)))
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "boom" in str(e)

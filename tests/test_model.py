@@ -45,6 +45,7 @@ def test_param_count_matches_reference(model_and_vars):
     assert 43e6 < n < 45.5e6, f"param count {n}"
 
 
+@pytest.mark.slow
 def test_grads_flow(model_and_vars):
     cfg, model, variables = model_and_vars
     imgs = jnp.ones((1, 64, 64, 3), jnp.float32)
@@ -93,6 +94,7 @@ def test_inference_paths(model_and_vars):
     assert all(valid[q] for q in claimed)
 
 
+@pytest.mark.slow
 def test_maskformer_v1_dispatch():
     """MaskFormer-v1 family is reachable from the config: pixel_decoder
     "transformer_fpn" (fpn.py:205 TransformerEncoderPixelDecoder) +

@@ -40,6 +40,7 @@ def test_shift_mask_blocks_cross_region():
     assert (m[-1] < 0).any()
 
 
+@pytest.mark.slow
 def test_swin_shapes_and_strides(rng):
     m = SwinTransformer(embed_dim=48, depths=(2, 2, 2, 2), num_heads=(2, 4, 8, 16))
     x = jnp.zeros((1, 96, 128, 3))
@@ -51,6 +52,7 @@ def test_swin_shapes_and_strides(rng):
     assert out["res5"].shape == (1, 3, 4, 384)
 
 
+@pytest.mark.slow
 def test_swin_droppath_changes_output(rng):
     m = SwinTransformer(
         embed_dim=48, depths=(2, 2), num_heads=(2, 4), drop_path_rate=0.5,

@@ -49,6 +49,7 @@ def test_inference_video(video_setup):
     assert tracks["masks"].dtype == bool
 
 
+@pytest.mark.slow
 def test_video_criterion_and_grads(rng):
     B, Q, K, G, T, h, w = 2, 6, 4, 3, 2, 16, 16
     logits = jnp.asarray(rng.randn(B, Q, K + 1).astype(np.float32))
@@ -79,6 +80,7 @@ def test_video_criterion_and_grads(rng):
     assert "loss_dice_0" in losses  # aux layer losses present
 
 
+@pytest.mark.slow
 def test_frame_validity_padding_equivalence():
     """Padding a clip to a larger static T bucket with frame_valid gives
     EXACTLY the prediction of true-length inference (the padded frames'

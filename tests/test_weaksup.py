@@ -110,6 +110,7 @@ def test_update_box_masks_and_thr_schedule():
     assert abs(float(thr) - 0.1) < 1e-6
 
 
+@pytest.mark.slow
 def test_weaksup_criterion_end_to_end(rng):
     B, Q, K, G, h, w = 2, 6, 4, 3, 16, 16
     logits = jnp.asarray(rng.randn(B, Q, K + 1).astype(np.float32))

@@ -49,6 +49,7 @@ def test_temporal_pairwise_loss_confidence(rng):
     assert abs(float(loss0) - np.log(2)) < 1e-3
 
 
+@pytest.mark.slow
 def test_video_weaksup_criterion(rng):
     B, Q, K, G, T, h, w, Kp = 1, 5, 3, 2, 2, 16, 16, 6
     logits = jnp.asarray(rng.randn(B, Q, K + 1).astype(np.float32))

@@ -77,7 +77,6 @@ def _video_loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment,
     )  # (B,G,T,h,w)
     src = src.astype(jnp.float32)
     tgt = tgt_masks.astype(jnp.float32)
-    valid = jnp.repeat(tgt_valid.reshape(B * G), T).astype(jnp.float32)
     BT = B * T
 
     n_imp = int(cfg.importance_sample_ratio * cfg.num_points)

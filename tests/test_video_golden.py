@@ -149,3 +149,39 @@ def test_inference_video_matches_reference():
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_array_equal(np.asarray(ours["labels"]), l_r.numpy())
     np.testing.assert_array_equal(np.asarray(ours["masks"]), m_r.numpy())
+
+
+def test_video_loss_masks_validity_ordering():
+    """_video_loss_masks rows are ordered (b, t, g); the validity weights
+    must follow the SAME order. With a padded (invalid) instance present,
+    the loss must equal the loss of the valid-only batch exactly (candidate
+    points are shared per (image, frame), so the valid instance's rows see
+    identical samples either way)."""
+    import jax.numpy as jnp
+
+    from bm2f_tpu.losses.criterion import SetCriterionConfig
+    from bm2f_tpu.losses.video_criterion import _video_loss_masks
+
+    rng = np.random.RandomState(2)
+    B, Q, T, h, w = 1, 4, 3, 12, 16
+    cfg = SetCriterionConfig(
+        num_classes=5, eos_coef=0.1, class_weight=2.0, mask_weight=5.0,
+        dice_weight=5.0, num_points=32, oversample_ratio=3.0,
+        importance_sample_ratio=0.75,
+    )
+    pred = jnp.asarray(rng.randn(B, Q, T, h, w).astype(np.float32))
+    tgt2 = jnp.asarray((rng.rand(B, 2, T, h, w) > 0.6).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    # padded: instance 1 invalid (its masks are garbage on purpose)
+    lm2, ld2 = _video_loss_masks(
+        key, pred, tgt2, jnp.asarray([[True, False]]),
+        jnp.asarray([[0, 3]]), 1.0, cfg,
+    )
+    # valid-only
+    lm1, ld1 = _video_loss_masks(
+        key, pred, tgt2[:, :1], jnp.asarray([[True]]),
+        jnp.asarray([[0]]), 1.0, cfg,
+    )
+    np.testing.assert_allclose(float(lm2), float(lm1), rtol=1e-6)
+    np.testing.assert_allclose(float(ld2), float(ld1), rtol=1e-6)

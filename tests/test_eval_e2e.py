@@ -327,3 +327,53 @@ def test_eval_mapper_extreme_aspect_fits_bucket():
     assert s["images"].shape == (1024, 1024, 3)
     nh, nw = s["resized_hw"]
     assert max(nh, nw) <= 1024 and nw > nh
+
+
+@pytest.mark.slow
+def test_video_eval_untruncated_long_clip():
+    """Clips longer than the T-bucket ladder are evaluated WHOLE (reference
+    feeds the entire video in one forward, video_maskformer_model.py:623):
+    a 44-frame synthetic video gets a ceil-to-8 bucket (48), not a silent
+    40-frame truncation (round-2 behavior)."""
+    import os, tempfile
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from eval_video import run_video_eval
+    from bm2f_tpu.models.maskformer import normalize_images
+    from bm2f_tpu.video import build_video_model
+    from tests.test_ytvis import _synthetic_video_dicts
+
+    name = "bm2f_video_eval_long"
+    if name in DatasetCatalog:
+        DatasetCatalog.remove(name)
+
+    tmp = tempfile.mkdtemp()
+    dicts = _synthetic_video_dicts(1, length=44, h=48, w=64)
+    for dd in dicts:
+        vdir = os.path.join(tmp, str(dd["video_id"]))
+        os.makedirs(vdir, exist_ok=True)
+        files = []
+        for fi in range(dd["length"]):
+            p = os.path.join(vdir, f"{fi}.jpg")
+            Image.fromarray(dd["images"][fi]).save(p)
+            files.append(p)
+        dd["file_names"] = files
+        dd.pop("images")
+    DatasetCatalog.register(name, lambda: dicts)
+
+    cfg = get_config("ytvis2019_video_r50", {
+        "model.decoder.dec_layers": 1,
+        "model.decoder.num_queries": 8,
+        "model.pixel_decoder.transformer_enc_layers": 1,
+        "model.num_classes": 5,
+    })
+    model = build_video_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        normalize_images(jnp.zeros((1, 2, 64, 64, 3)), cfg.model),
+    )
+    res = run_video_eval(cfg, model, variables, name, short_edge=48,
+                         bucket=64, t_buckets=(4, 8, 16, 24, 40))
+    assert "AP" in res and np.isfinite(res["AP"])

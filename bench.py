@@ -65,23 +65,29 @@ def _fwd_bench(cfg_name, B, H, W, iters, overrides=None,
     variables = model.init(jax.random.PRNGKey(0),
                            normalize_images(images[:1], cfg.model))
 
+    # params as jit ARGUMENTS, not closure constants: closed-over arrays are
+    # embedded in the serialized HLO, and Swin-L's ~200M params overflow the
+    # axon remote-compile request (HTTP 413)
     @jax.jit
-    def fwd(images, shift):
+    def fwd(variables, images, shift):
         out = model.apply(variables, normalize_images(images + shift, cfg.model))
         return out["pred_logits"], out["pred_masks"]
 
+    # warmup MUST sync by pulling a scalar: block_until_ready is a no-op on
+    # the axon platform, and an unsynced warmup leaks compile + first-run
+    # work into the timed window (measured 9x distortion on Swin-L)
     shift = jnp.float32(0.0)
-    logits, _ = fwd(images, shift)
-    logits.block_until_ready()
+    logits, _ = fwd(variables, images, shift)
     shift = logits[0, 0, 0].astype(jnp.float32) * 1e-6
-    logits, _ = fwd(images, shift)
-    logits.block_until_ready()
+    logits, _ = fwd(variables, images, shift)
+    shift = logits[0, 0, 0].astype(jnp.float32) * 1e-6
+    float(shift)
 
     times = []
     t0 = time.perf_counter()
     for _ in range(iters):
         t1 = time.perf_counter()
-        logits, _ = fwd(images, shift)
+        logits, _ = fwd(variables, images, shift)
         shift = logits[0, 0, 0].astype(jnp.float32) * 1e-6
         if per_iter_sync:
             float(shift)  # host sync (block_until_ready no-ops on axon)
@@ -132,6 +138,19 @@ def bench_train():
 
 
 def main():
+    # 0. headline FIRST (compiles are not reliably cached across processes
+    # on this runtime, so later metrics may take 15-25 min of compile each;
+    # printing the headline up front survives an external timeout) — and it
+    # is re-emitted as the LAST line so last-line parsers see it too
+    headline = None
+    try:
+        img_per_s, _ = _fwd_bench("coco_instance_r50", 4, 800, 800, iters=20)
+        headline = img_per_s
+        _emit("forward images/sec/chip (R50, 800x800, bf16)", img_per_s,
+              "img/s", img_per_s / A100_ESTIMATE_IMG_PER_S)
+    except Exception as e:  # noqa: BLE001
+        print(f"# headline bench failed: {e}", flush=True)
+
     # 1. train step (R50 1024^2 B=2)
     try:
         s_per_it = bench_train()
@@ -148,20 +167,38 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"# swin-l bench failed: {e}", flush=True)
 
-    # 3. p50 single-image latency (R50)
+    # 3. p50 single-image latency (R50), net of the host-sync round trip:
+    # per-iteration timing must pull a scalar to the host (block_until_ready
+    # no-ops on axon), and that null round trip costs ~25-30 ms on the
+    # tunneled chip — a harness artifact, not model time, so it is measured
+    # and subtracted (and reported for transparency)
     try:
+        import jax
+        import jax.numpy as jnp
+
         _, times = _fwd_bench("coco_instance_r50", 1, 800, 800, iters=20,
                               per_iter_sync=True)
-        p50 = float(np.median(times)) * 1e3
+        x = jnp.float32(1.0)
+        null = []
+        for i in range(10):
+            t1 = time.perf_counter()
+            x = x * 1.0000001
+            float(x)
+            null.append(time.perf_counter() - t1)
+        sync_ms = float(np.median(null)) * 1e3
+        p50 = float(np.median(times)) * 1e3 - sync_ms
+        print(f"# host-sync round trip subtracted from p50: {sync_ms:.1f} ms",
+              flush=True)
         _emit("p50 single-image forward latency (R50, 800x800)", p50, "ms",
               A100_ESTIMATE_P50_MS / p50)
     except Exception as e:  # noqa: BLE001
         print(f"# latency bench failed: {e}", flush=True)
 
-    # 4. headline: R50 forward throughput (LAST line)
-    img_per_s, _ = _fwd_bench("coco_instance_r50", 4, 800, 800, iters=20)
-    _emit("forward images/sec/chip (R50, 800x800, bf16)", img_per_s,
-          "img/s", img_per_s / A100_ESTIMATE_IMG_PER_S)
+    # 4. headline re-emitted as the LAST line (same measurement)
+    if headline is None:
+        headline, _ = _fwd_bench("coco_instance_r50", 4, 800, 800, iters=20)
+    _emit("forward images/sec/chip (R50, 800x800, bf16)", headline,
+          "img/s", headline / A100_ESTIMATE_IMG_PER_S)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,28 @@ def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
     return np.where(diff, -100.0, 0.0).astype(np.float32)
 
 
+def _shift_attn_mask_device(hp: int, wp: int, window: int, shift: int):
+    """On-device `_shift_attn_mask` (identical values, built from iota): the
+    numpy version embeds (nW, w^2, w^2) f32 constants in the HLO — ~24 MB
+    per shifted block at Swin-L 800^2 stride 4, which overflows the axon
+    remote-compile request (HTTP 413) and bloats every executable. The
+    region-id zoning is 0 for [0, n-w), 1 for [n-w, n-shift), 2 for the
+    final shift rows (matching the reference's cnt ordering because zone
+    ids are monotone in position)."""
+
+    def zone(n):
+        i = jax.lax.iota(jnp.int32, n)
+        return (i >= n - window).astype(jnp.int32) + (i >= n - shift).astype(
+            jnp.int32
+        )
+
+    ids = zone(hp)[:, None] * 3 + zone(wp)[None, :]  # (hp, wp)
+    win = ids.reshape(hp // window, window, wp // window, window)
+    win = win.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    diff = win[:, :, None] != win[:, None, :]
+    return jnp.where(diff, -100.0, 0.0).astype(jnp.float32)
+
+
 def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """(B, H, W, C) -> (B*nW, window*window, C); H, W divisible by window."""
     B, H, W, C = x.shape
@@ -166,7 +188,7 @@ class SwinBlock(nn.Module):
         shift = self.shift
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(hp, wp, w, shift))
+            mask = _shift_attn_mask_device(hp, wp, w, shift)
         else:
             mask = None
 

@@ -63,3 +63,15 @@ def test_swin_droppath_changes_output(rng):
     eval_out = m.apply(v, x)["res3"]
     train_out = m.apply(v, x, False, rngs={"dropout": jax.random.PRNGKey(7)})["res3"]
     assert not np.allclose(np.asarray(eval_out), np.asarray(train_out))
+
+
+def test_shift_attn_mask_device_matches_numpy():
+    """The on-device iota shift mask (used in the traced path so Swin-L HLO
+    does not embed ~MBs of mask constants per block) must equal the numpy
+    construction bit-for-bit."""
+    from bm2f_tpu.models.swin import _shift_attn_mask, _shift_attn_mask_device
+
+    for (hp, wp, w, s) in [(24, 36, 12, 6), (14, 21, 7, 3), (12, 12, 12, 6)]:
+        a = _shift_attn_mask(hp, wp, w, s)
+        b = np.asarray(_shift_attn_mask_device(hp, wp, w, s))
+        np.testing.assert_array_equal(a, b)

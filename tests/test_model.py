@@ -121,6 +121,7 @@ def test_maskformer_v1_dispatch():
     assert np.all(np.isfinite(np.asarray(out["pred_masks"])))
 
 
+@pytest.mark.slow
 def test_per_pixel_baseline_plus_head():
     """PerPixelBaselinePlusHead (per_pixel_baseline.py:127): per-query mask
     logits double as per-pixel class scores; aux per decoder layer."""

@@ -17,9 +17,27 @@ from bm2f_tpu.video.video_maskformer import inference_video
 
 @pytest.fixture(scope="module")
 def video_setup():
+    # dryrun-style width shrink: clip flattening / 3D PE / track inference
+    # are width-independent, and full-width R50+decoder compiles cost ~100 s
+    # on this 1-core host (video-path numerics parity lives in the slow-tier
+    # test_video_golden.py at reference widths)
     cfg = get_config(
         "ytvis2019_video_r50",
-        {"model.decoder.dec_layers": 3, "model.loss.train_num_points": 256},
+        {
+            "model.decoder.dec_layers": 3,
+            "model.loss.train_num_points": 256,
+            "model.backbone.resnet.depth": 14,
+            "model.pixel_decoder.conv_dim": 64,
+            "model.pixel_decoder.mask_dim": 64,
+            "model.pixel_decoder.transformer_enc_layers": 2,
+            "model.pixel_decoder.transformer_nheads": 4,
+            "model.pixel_decoder.transformer_dim_feedforward": 128,
+            "model.decoder.hidden_dim": 64,
+            "model.decoder.mask_dim": 64,
+            "model.decoder.num_queries": 20,
+            "model.decoder.nheads": 4,
+            "model.decoder.dim_feedforward": 128,
+        },
     )
     model = build_video_model(cfg)
     imgs = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from bm2f_tpu.config import PixelDecoderConfig
 from bm2f_tpu.models.layers import MLP, c2_xavier_init, get_norm, xavier_uniform
@@ -114,6 +115,11 @@ class MSDeformAttnModule(nn.Module):
                 head_major=True, q_minor=True, out_head_major=True,
                 q_tile=self.q_tile,
             )  # (B, M, Q, D) f32
+            # named for the encoder remat policy: output_proj's weight grad
+            # consumes this tensor, so unless it is saved the backward-pass
+            # recompute must re-run the Pallas gather (~11 ms/layer at
+            # 1024^2 B=2) just to rebuild it
+            out = checkpoint_name(out, "deform_gather_out")
             return _HeadMajorOutProj(C, M, dtype=self.dtype,
                                      name="output_proj")(out)
 
@@ -242,6 +248,12 @@ class DeformableEncoderLayer(nn.Module):
             dtype=self.dtype, impl=self.impl, q_chunks=self.q_chunks,
             q_tile=self.q_tile, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes)
+        # named for the remat policy: saving this one tensor (B,S,C bf16,
+        # ~11 MB/layer at 1024^2 B=2) lets the backward-pass recompute skip
+        # the Pallas gather forward entirely (its custom-VJP residuals are
+        # prep outputs, so the re-run is dead code once attn_out is saved) —
+        # measured 6x ~11 ms/step of recomputed kernel time at 1024^2 B=2
+        attn_out = checkpoint_name(attn_out, "deform_attn_out")
         src = src + attn_out
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
 
@@ -321,7 +333,13 @@ class MSDeformAttnPixelDecoder(nn.Module):
         ref_points = encoder_reference_points(shapes)
 
         layer_cls = (
-            nn.remat(DeformableEncoderLayer, static_argnums=(4,))
+            nn.remat(
+                DeformableEncoderLayer,
+                static_argnums=(4,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "deform_attn_out", "deform_gather_out"
+                ),
+            )
             if cfg.remat
             else DeformableEncoderLayer
         )

@@ -25,10 +25,18 @@ def model_and_vars():
     return cfg, model, variables
 
 
-def test_forward_shapes(model_and_vars):
+@pytest.fixture(scope="module")
+def forward_out(model_and_vars):
+    """One B=2 forward shared by the shape and inference tests (a second
+    apply at a different batch recompiles ~25 s on this 1-core host)."""
     cfg, model, variables = model_and_vars
     imgs = jnp.zeros((2, 128, 128, 3), jnp.float32)
-    out = model.apply(variables, normalize_images(imgs, cfg.model))
+    return model.apply(variables, normalize_images(imgs, cfg.model))
+
+
+def test_forward_shapes(model_and_vars, forward_out):
+    cfg, model, variables = model_and_vars
+    out = forward_out
     Q = cfg.model.decoder.num_queries
     assert out["pred_logits"].shape == (2, Q, cfg.model.num_classes + 1)
     assert out["pred_masks"].shape == (2, Q, 32, 32)  # stride 4
@@ -65,11 +73,10 @@ def test_grads_flow(model_and_vars):
     assert np.abs(np.asarray(g["in_proj_weight"])).sum() > 0
 
 
-def test_inference_paths(model_and_vars):
+def test_inference_paths(model_and_vars, forward_out):
     cfg, model, variables = model_and_vars
-    imgs = jnp.zeros((1, 128, 128, 3), jnp.float32)
-    out = model.apply(variables, normalize_images(imgs, cfg.model))
-    logits, masks = out["pred_logits"][0], out["pred_masks"][0]
+    logits = forward_out["pred_logits"][0]
+    masks = forward_out["pred_masks"][0]
 
     sem = semantic_inference(logits, masks)
     assert sem.shape == (32, 32, 80)

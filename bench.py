@@ -8,6 +8,27 @@ LAST line so single-line parsers pick it up):
   3. p50 single-image forward latency (R50 800^2 B=1)
   4. R50 800^2 B=4 forward throughput (headline)
 
+Robustness (round-4): the round-3 driver run captured NOTHING because the
+axon backend init hung >9 min and the driver burned its whole timeout
+(BENCH_r03.json rc=124). This harness now never hangs unbounded:
+
+  * a PREFLIGHT probes backend init + one tiny jitted matmul in a killable
+    subprocess (hung inits cannot be interrupted in-process), with bounded
+    retries (3 x 150 s by default) — a crashed TPU worker recovers on its
+    own in ~3 min, so the retry ladder covers that case;
+  * each metric runs in its own subprocess under a per-metric timeout, so
+    one wedged graph cannot eat the others;
+  * an overall soft deadline (BENCH_DEADLINE_S, default 1260 s) shrinks
+    per-metric budgets so the harness always finishes before a ~25-min
+    external timeout with whatever it measured;
+  * every failure path emits a structured {"metric": ..., "error": ...}
+    JSON line instead of silence.
+
+Run modes:
+  python bench.py                 driver entry: preflight + all metrics
+  python bench.py --metric NAME   one metric in-process (the subprocess leg)
+  python bench.py --preflight     the preflight probe body (subprocess leg)
+
 Baselines: the reference publishes no throughput numbers (BASELINE.md) — the
 Mask2Former paper reports ~8.6 fps for R50 and ~2.0 fps for Swin-L COCO
 panoptic inference on a V100; we take 2x those (17.2 / 4.0 img/s) as A100
@@ -22,6 +43,9 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -36,12 +60,34 @@ A100_ESTIMATE_SWINL_IMG_PER_S = 4.0
 A100_ESTIMATE_P50_MS = 1000.0 / A100_ESTIMATE_IMG_PER_S
 ROUND1_TRAIN_S_PER_IT = 1.46
 
+PREFLIGHT_ATTEMPTS = int(os.environ.get("BENCH_PREFLIGHT_ATTEMPTS", "3"))
+PREFLIGHT_TIMEOUT_S = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT_S", "150"))
+# overall soft deadline: leave headroom under a ~25 min external timeout
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1260"))
+
+# (name, per-metric timeout seconds). Ordered by importance; headline runs
+# first so it survives even a tight external timeout, and is re-emitted last.
+METRICS = [
+    ("headline", 480.0),
+    ("train", 480.0),
+    ("swinl", 480.0),
+    ("p50", 360.0),
+]
+
 
 def _emit(metric, value, unit, vs_baseline):
     print(json.dumps({"metric": metric, "value": round(value, 2),
                       "unit": unit, "vs_baseline": round(vs_baseline, 2)}),
           flush=True)
 
+
+def _emit_error(metric, error):
+    print(json.dumps({"metric": metric, "error": error}), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# metric bodies (run inside the per-metric subprocess)
+# ---------------------------------------------------------------------------
 
 def _fwd_bench(cfg_name, B, H, W, iters, overrides=None,
                per_iter_sync=False):
@@ -137,69 +183,161 @@ def bench_train():
     return dt
 
 
-def main():
-    # 0. headline FIRST (compiles are not reliably cached across processes
-    # on this runtime, so later metrics may take 15-25 min of compile each;
-    # printing the headline up front survives an external timeout) — and it
-    # is re-emitted as the LAST line so last-line parsers see it too
-    headline = None
-    try:
+def run_metric(name):
+    """One metric, in-process. Prints the JSON line(s) itself."""
+    if name == "headline":
         img_per_s, _ = _fwd_bench("coco_instance_r50", 4, 800, 800, iters=20)
-        headline = img_per_s
         _emit("forward images/sec/chip (R50, 800x800, bf16)", img_per_s,
               "img/s", img_per_s / A100_ESTIMATE_IMG_PER_S)
-    except Exception as e:  # noqa: BLE001
-        print(f"# headline bench failed: {e}", flush=True)
-
-    # 1. train step (R50 1024^2 B=2)
-    try:
+    elif name == "train":
         s_per_it = bench_train()
         _emit("train s/it (R50, 1024x1024, B=2, JV matcher)", s_per_it,
               "s/it", ROUND1_TRAIN_S_PER_IT / s_per_it)
-    except Exception as e:  # noqa: BLE001 - never block the headline metric
-        print(f"# train bench failed: {e}", flush=True)
-
-    # 2. Swin-L 200 queries (zoo flagship)
-    try:
+    elif name == "swinl":
         swinl, _ = _fwd_bench("coco_panoptic_swin_l", 2, 800, 800, iters=10)
         _emit("forward images/sec/chip (Swin-L 200q, 800x800, bf16)", swinl,
               "img/s", swinl / A100_ESTIMATE_SWINL_IMG_PER_S)
-    except Exception as e:  # noqa: BLE001
-        print(f"# swin-l bench failed: {e}", flush=True)
-
-    # 3. p50 single-image latency (R50), net of the host-sync round trip:
-    # per-iteration timing must pull a scalar to the host (block_until_ready
-    # no-ops on axon), and that null round trip costs ~25-30 ms on the
-    # tunneled chip — a harness artifact, not model time, so it is measured
-    # and subtracted (and reported for transparency)
-    try:
-        import jax
-        import jax.numpy as jnp
-
+    elif name == "p50":
+        # p50 single-image latency (R50). Per-iteration timing must pull a
+        # scalar to the host (block_until_ready no-ops on axon) and that
+        # null round trip costs ~25-30 ms on the tunneled chip — a harness
+        # artifact, not model time, so it is measured and subtracted; both
+        # raw and net are printed for transparency (ADVICE r3: the full
+        # round-trip subtraction slightly over-corrects, so the raw number
+        # is the honest upper bound).
         _, times = _fwd_bench("coco_instance_r50", 1, 800, 800, iters=20,
                               per_iter_sync=True)
+        import jax.numpy as jnp
         x = jnp.float32(1.0)
         null = []
-        for i in range(10):
+        for _ in range(10):
             t1 = time.perf_counter()
             x = x * 1.0000001
             float(x)
             null.append(time.perf_counter() - t1)
         sync_ms = float(np.median(null)) * 1e3
-        p50 = float(np.median(times)) * 1e3 - sync_ms
-        print(f"# host-sync round trip subtracted from p50: {sync_ms:.1f} ms",
-              flush=True)
+        raw_ms = float(np.median(times)) * 1e3
+        p50 = raw_ms - sync_ms
+        print(f"# p50 raw {raw_ms:.1f} ms; host-sync round trip subtracted:"
+              f" {sync_ms:.1f} ms", flush=True)
         _emit("p50 single-image forward latency (R50, 800x800)", p50, "ms",
               A100_ESTIMATE_P50_MS / p50)
-    except Exception as e:  # noqa: BLE001
-        print(f"# latency bench failed: {e}", flush=True)
+    else:
+        raise SystemExit(f"unknown metric {name!r}")
 
-    # 4. headline re-emitted as the LAST line (same measurement)
-    if headline is None:
-        headline, _ = _fwd_bench("coco_instance_r50", 4, 800, 800, iters=20)
-    _emit("forward images/sec/chip (R50, 800x800, bf16)", headline,
-          "img/s", headline / A100_ESTIMATE_IMG_PER_S)
+
+# ---------------------------------------------------------------------------
+# preflight (subprocess leg)
+# ---------------------------------------------------------------------------
+
+def run_preflight():
+    """Backend init + one tiny jitted matmul + host pull. Run in a killable
+    subprocess: a hung backend init cannot be interrupted from Python."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    devs = jax.devices()
+    x = jnp.ones((256, 256), jnp.float32)
+    y = float(jnp.sum(jax.jit(lambda a: a @ a)(x)))
+    assert np.isfinite(y), y
+    print(f"# preflight ok: {len(devs)} device(s), platform="
+          f"{jax.default_backend()}, {time.time() - t0:.1f}s", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# driver entry: watchdogged subprocess orchestration
+# ---------------------------------------------------------------------------
+
+def _run_child(args, timeout_s):
+    """Run `python bench.py <args>` streaming stdout through; kill the whole
+    process group on timeout (a hung TPU init ignores SIGTERM)."""
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + args,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, start_new_session=True)
+    lines = []
+    deadline = time.time() + timeout_s
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+        lines = out.splitlines()
+        for ln in lines:
+            print(ln, flush=True)
+        return proc.returncode, lines
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        try:
+            out, _ = proc.communicate(timeout=10)
+            for ln in out.splitlines():
+                print(ln, flush=True)
+        except subprocess.TimeoutExpired:
+            pass
+        del deadline
+        return "timeout", lines
+
+
+def main():
+    t_start = time.time()
+
+    def remaining():
+        return DEADLINE_S - (time.time() - t_start)
+
+    # --- preflight: bounded, retried, killable --------------------------
+    ok = False
+    for attempt in range(1, PREFLIGHT_ATTEMPTS + 1):
+        budget = min(PREFLIGHT_TIMEOUT_S, max(30.0, remaining() - 60.0))
+        print(f"# preflight attempt {attempt}/{PREFLIGHT_ATTEMPTS} "
+              f"(timeout {budget:.0f}s)", flush=True)
+        rc, _ = _run_child(["--preflight"], budget)
+        if rc == 0:
+            ok = True
+            break
+        print(f"# preflight attempt {attempt} failed (rc={rc})", flush=True)
+        if remaining() < 120:
+            break
+        if attempt < PREFLIGHT_ATTEMPTS:
+            time.sleep(20)  # crashed worker recovers on its own in ~3 min
+    if not ok:
+        err = ("backend preflight failed: TPU init hung or crashed after "
+               f"{PREFLIGHT_ATTEMPTS} bounded attempts — environmental, "
+               "not a model regression (see BENCH docstring)")
+        _emit_error("preflight", err)
+        for name, _ in METRICS:
+            _emit_error(name, "skipped: backend preflight failed")
+        return
+
+    # --- metrics: one subprocess each, per-metric + overall deadline ----
+    headline_line = None
+    for name, budget in METRICS:
+        budget = min(budget, remaining() - 30.0)
+        if budget < 90:
+            _emit_error(name, "skipped: overall bench deadline reached")
+            continue
+        rc, lines = _run_child(["--metric", name], budget)
+        if rc == "timeout":
+            _emit_error(name, f"timeout after {budget:.0f}s (killed)")
+            continue
+        if rc != 0:
+            tail = "; ".join(lines[-3:])[-300:] if lines else ""
+            _emit_error(name, f"subprocess rc={rc}: {tail}")
+            continue
+        if name == "headline":
+            for ln in lines:
+                if ln.startswith("{") and '"value"' in ln:
+                    headline_line = ln
+
+    # --- headline re-emitted as the LAST line (same measurement) --------
+    if headline_line is not None:
+        print(headline_line, flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if "--preflight" in sys.argv:
+        run_preflight()
+    elif "--metric" in sys.argv:
+        run_metric(sys.argv[sys.argv.index("--metric") + 1])
+    else:
+        main()

@@ -265,9 +265,13 @@ class TrainConfig:
     # Hungarian assignment implementation: "auto" picks the exact host LSA
     # (native C++ JV via per-shard callbacks) on backends that support host
     # callbacks, and the EXACT on-device batched Jonker-Volgenant solver on
-    # ones that don't (the axon TPU runtime rejects pure_callback). The
-    # epsilon-scaling auction remains as an approximate alternative.
-    matcher: str = "auto"  # "auto" | "lap" | "jv" | "auction"
+    # ones that don't (the axon TPU runtime rejects pure_callback).
+    # "auction" is EXPERIMENTAL: the epsilon-scaling auction shows measurable
+    # suboptimality on production matcher costs (the ~Q-G identical padding
+    # columns trigger bidding wars; see hungarian.auction_assign docstring).
+    # It exists as a bounded-round approximate fallback only — "jv" is exact,
+    # on-device, and costs nothing measurable in the train step.
+    matcher: str = "auto"  # "auto" | "lap" | "jv" | "auction" (experimental)
     auction_iters: int = 300  # bidding rounds per epsilon-scaling phase
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     checkpoint_period: int = 5000

@@ -117,6 +117,15 @@ def register_all_builtin_datasets(root: Optional[str] = None,
     if os.path.exists(dbg):
         register_coco_instances("coco_2017_debug", dbg, j("coco", "val2017"))
 
+    # ---- LVIS v1 (evaluator dispatch: reference train_net.py:126-128) ----
+    from bm2f_tpu.data.datasets.lvis import register_lvis_instances
+
+    for split in ("train", "val"):
+        lj = j("lvis", f"lvis_v1_{split}.json")
+        if os.path.exists(lj):
+            # LVIS images live in the COCO dirs; file_name carries the split
+            register_lvis_instances(f"lvis_v1_{split}", lj, j("coco"))
+
     # ---- COCO panoptic ----
     for split in ("train", "val"):
         pj = j("coco", "annotations", f"panoptic_{split}2017.json")

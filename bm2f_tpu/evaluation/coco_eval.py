@@ -175,6 +175,10 @@ class COCOMaskAPEvaluator:
             if P == 0:
                 continue
             p_out_of_area = (r["pred_area"] < lo) | (r["pred_area"] > hi)
+            # LVIS federated protocol: unmatched detections on images whose
+            # annotation is known-incomplete for this category are ignored,
+            # not false positives (lvis_eval.LVISMaskAPEvaluator sets "nel")
+            unmatched_ignored = p_out_of_area | bool(r.get("nel", False))
             tp = np.zeros((T, P), bool)
             ign = np.zeros((T, P), bool)
             for ti, thr in enumerate(IOU_THRS):
@@ -183,7 +187,7 @@ class COCOMaskAPEvaluator:
                 )
                 tp[ti] = (match >= 0) & ~mign
                 # unmatched predictions outside the area range are ignored
-                ign[ti] = mign | ((match < 0) & p_out_of_area)
+                ign[ti] = mign | ((match < 0) & unmatched_ignored)
             all_scores.append(r["scores"])
             all_tp.append(tp)
             all_ign.append(ign)

@@ -107,6 +107,14 @@ def auction_assign(costs: jnp.ndarray, num_iters: int = 300, phases: int = 7,
     host sync entirely. costs: (B, Q, G) to MINIMIZE. Returns (B, G) int32
     column->row assignment.
 
+    EXPERIMENTAL / demoted (round 4): on production matcher costs the ~Q-G
+    identical padding columns trigger musical-chairs bidding wars that the
+    tie-break perturbation and warm-started phases only mitigate, not cure —
+    the result is measurably suboptimal in bounded rounds (round-2 STATUS).
+    `jv_assign` is exact, on-device, and costs nothing measurable in the
+    train step; it is the production path. This solver is retained only as
+    a bounded-round approximate alternative (train.matcher="auction" warns).
+
     Epsilon scaling (Bertsekas): auction phases with geometrically
     decreasing epsilon, carrying BOTH prices and the assignment across
     phases (each phase releases only the columns violating the tighter

@@ -186,8 +186,17 @@ class Trainer:
 
             return make_jv_assign_fn()
         if choice == "auction":
+            import logging
+
             from bm2f_tpu.matching.hungarian import make_auction_assign_fn
 
+            logging.getLogger(__name__).warning(
+                "train.matcher='auction' is EXPERIMENTAL: the epsilon-scaling"
+                " auction is measurably suboptimal on padded production cost"
+                " matrices (identical padding columns cause bidding wars)."
+                " Use the default exact on-device JV solver instead"
+                " (train.matcher='jv')."
+            )
             return make_auction_assign_fn(self.cfg.train.auction_iters)
         if self.mesh.devices.size > 1:
             from bm2f_tpu.matching.hungarian import make_sharded_assign_fn

@@ -56,6 +56,39 @@ def draw_semantic(img, sem_probs):
     return (0.5 * img + 0.5 * overlay).astype(np.uint8)
 
 
+def draw_panoptic(img, seg_map, segments, class_names=None):
+    """Per-segment colors + category labels at segment centroids (reference:
+    demo/demo.py:39 run_on_image -> d2 Visualizer.draw_panoptic_seg: stuff
+    drawn as tinted regions, things with instance colors, every segment
+    labeled with its category name)."""
+    import numpy as np
+    from PIL import Image, ImageDraw
+
+    palette = color_palette(len(segments) + 1)
+    out = img.copy().astype(np.float32)
+    for seg in segments:
+        m = seg_map == seg["id"]
+        # stuff regions get a lighter tint than thing instances, like the
+        # Visualizer's lower stuff alpha
+        alpha = 0.5 if seg["isthing"] else 0.35
+        out[m] = (1 - alpha) * out[m] + alpha * palette[seg["id"]]
+    pil = Image.fromarray(out.astype(np.uint8))
+    d = ImageDraw.Draw(pil)
+    for seg in segments:
+        ys, xs = np.nonzero(seg_map == seg["id"])
+        if len(ys) == 0:
+            continue
+        cid = int(seg["category_id"])
+        name = (
+            class_names[cid]
+            if class_names and cid < len(class_names)
+            else str(cid)
+        )
+        cy, cx = int(np.median(ys)), int(np.median(xs))
+        d.text((cx, cy), name, fill=(255, 255, 255))
+    return np.asarray(pil)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="coco_instance_r50")
@@ -99,6 +132,12 @@ def main():
 
     os.makedirs(args.output, exist_ok=True)
 
+    # label metadata: built-in COCO tables when the config matches (the demo
+    # machine need not have dataset jsons); numeric labels otherwise
+    from bm2f_tpu.data.datasets.coco_meta import default_demo_metadata
+
+    class_names, thing_mask = default_demo_metadata(cfg.model.num_classes)
+
     @jax.jit
     def predict(x):
         out = model.apply(variables, normalize_images(x, cfg.model))
@@ -137,15 +176,14 @@ def main():
         elif args.task == "panoptic":
             pan = panoptic_inference(
                 logits[0], masks_full, num_classes=cfg.model.num_classes,
-                thing_mask=tuple([True] * cfg.model.num_classes),
+                thing_mask=thing_mask,
                 object_mask_threshold=cfg.model.test.object_mask_threshold,
                 overlap_threshold=cfg.model.test.overlap_threshold,
             )
             from bm2f_tpu.evaluation.panoptic_post import relabel_panoptic
 
-            seg_map, _ = relabel_panoptic(jax.tree.map(np.asarray, pan))
-            palette = color_palette(seg_map.max() + 1)
-            vis = (0.5 * img + 0.5 * palette[seg_map]).astype(np.uint8)
+            seg_map, segments = relabel_panoptic(jax.tree.map(np.asarray, pan))
+            vis = draw_panoptic(img, seg_map, segments, class_names)
         else:
             inst = instance_inference(
                 logits[0], masks_full, num_classes=cfg.model.num_classes, topk=100
@@ -153,7 +191,7 @@ def main():
             inst = jax.tree.map(np.asarray, inst)
             vis = draw_instances(
                 img, inst["masks"], inst["labels"], inst["scores"],
-                score_thr=args.confidence,
+                class_names=class_names, score_thr=args.confidence,
             )
 
         out_path = os.path.join(args.output, os.path.basename(path) + ".viz.png")

@@ -6,6 +6,7 @@ Trainer.test -> inference_on_dataset). Dispatches on the dataset's
   coco               -> instance mask AP       (COCOMaskAPEvaluator)
   sem_seg            -> semantic mIoU          (SemSegEvaluator)
   coco_panoptic_seg  -> panoptic PQ/SQ/RQ      (PanopticEvaluator)
+  lvis               -> federated LVIS mask AP (LVISMaskAPEvaluator)
 
 Runs the jitted model + inference heads over a test loader (images padded
 to one of a few static buckets — one XLA compile per bucket) and the
@@ -54,13 +55,16 @@ def _build_loader(cfg, dataset_name, short_edge, max_size, bucket,
 
 def eval_instance(cfg, model, variables, dataset_name: str, max_images: int = 0,
                   short_edge: int = 800, max_size: int = 1333,
-                  bucket=(704, 960, 1344), rank: int = 0, world_size: int = 1):
-    """Instance mask AP (reference inference: maskformer_model.py:573-623)."""
+                  bucket=(704, 960, 1344), rank: int = 0, world_size: int = 1,
+                  protocol: str = "coco"):
+    """Instance mask AP (reference inference: maskformer_model.py:573-623).
+    protocol="lvis" applies the federated LVIS protocol (300 dets/image,
+    neg/not-exhaustive category handling; reference train_net.py:126-128)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from bm2f_tpu.data import DatasetCatalog
+    from bm2f_tpu.data import DatasetCatalog, MetadataCatalog
     from bm2f_tpu.data.mask_ops import segmentation_to_mask
     from bm2f_tpu.data.transforms import resize_bilinear_np
     from bm2f_tpu.evaluation.coco_eval import COCOMaskAPEvaluator
@@ -69,6 +73,7 @@ def eval_instance(cfg, model, variables, dataset_name: str, max_images: int = 0,
     from bm2f_tpu.ops import resize_bilinear
 
     num_classes = cfg.model.num_classes
+    topk = 300 if protocol == "lvis" else 100
     loader = _build_loader(cfg, dataset_name, short_edge, max_size, bucket,
                            rank, world_size)
 
@@ -81,7 +86,7 @@ def eval_instance(cfg, model, variables, dataset_name: str, max_images: int = 0,
                                       images.shape[2]).transpose(2, 0, 1)
         )(out["pred_masks"])
         scores, labels, sel_masks = jax.vmap(
-            lambda c, m: instance_topk_select(c, m, num_classes=num_classes, topk=100)
+            lambda c, m: instance_topk_select(c, m, num_classes=num_classes, topk=topk)
         )(out["pred_logits"], masks_full)
         return scores, labels, sel_masks
 
@@ -92,8 +97,15 @@ def eval_instance(cfg, model, variables, dataset_name: str, max_images: int = 0,
 
     predict = retry_if_oom(predict)
 
-    evaluator = COCOMaskAPEvaluator(num_classes)
     dicts = {d["image_id"]: d for d in DatasetCatalog.get(dataset_name)}
+    if protocol == "lvis":
+        from bm2f_tpu.evaluation.lvis_eval import LVISMaskAPEvaluator
+
+        freqs = getattr(MetadataCatalog.get(dataset_name),
+                        "class_frequencies", None)
+        evaluator = LVISMaskAPEvaluator(num_classes, frequencies=freqs)
+    else:
+        evaluator = COCOMaskAPEvaluator(num_classes)
 
     n = 0
     for batch in loader:
@@ -135,6 +147,10 @@ def eval_instance(cfg, model, variables, dataset_name: str, max_images: int = 0,
                     [bool(a.get("iscrowd", 0)) for a in dd["annotations"]], bool,
                 ),
             }
+            if protocol == "lvis":
+                gt["neg_categories"] = dd.get("neg_category_ids", ())
+                gt["not_exhaustive_categories"] = dd.get(
+                    "not_exhaustive_category_ids", ())
             evaluator.process(jax.tree.map(np.asarray, inst), gt)
             n += 1
         if max_images and n >= max_images:
@@ -402,6 +418,10 @@ def run_eval(cfg, model, variables, dataset_name: str, max_images: int = 0,
     if etype == "coco_panoptic_seg":
         return eval_panoptic(cfg, model, variables, dataset_name, max_images,
                              short_edge, max_size, bucket, rank, world_size)
+    if etype == "lvis":
+        return eval_instance(cfg, model, variables, dataset_name, max_images,
+                             short_edge, max_size, bucket, rank, world_size,
+                             protocol="lvis")
     return eval_instance(cfg, model, variables, dataset_name, max_images,
                          short_edge, max_size, bucket, rank, world_size)
 

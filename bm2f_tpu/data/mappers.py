@@ -14,6 +14,7 @@ validity mask — so the jitted train step never recompiles.
 
 from __future__ import annotations
 
+import sys
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -338,9 +339,12 @@ class EvalMapper:
             # reference's ResizeShortestEdge+MAX_SIZE_TEST protocol
             s2 = B / max(nh, nw)
             nh, nw = int(nh * s2), int(nw * s2)
+            # stderr, not stdout: bench-style harnesses parse stdout lines
+            # as JSON and a stray WARNING line would break them
             print(f"WARNING: EvalMapper shrink-to-fit: image "
                   f"{h}x{w} -> {nh}x{nw} exceeds the largest bucket {B}; "
-                  f"evaluating below the reference test resolution")
+                  f"evaluating below the reference test resolution",
+                  file=sys.stderr)
         image = resize_image(img, nh, nw).astype(np.float32)
         full = np.broadcast_to(self.pad_value, (B, B, 3)).copy()
         full[:nh, :nw] = image

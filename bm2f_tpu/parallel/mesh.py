@@ -38,6 +38,21 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch pytree with the leading axis sharded."""
+    """Place a host batch pytree with the leading axis sharded over 'data'.
+
+    Single-process (incl. the 8-virtual-device test mesh): the host batch IS
+    the global batch — device_put splits it. Multi-process: each host's
+    loader yields only ITS slice of the global batch (train.py builds
+    per-host loader shards), so the local arrays are assembled into global
+    jax.Arrays via make_array_from_process_local_data — device_put with a
+    cross-process sharding would wrongly treat the local slice as the whole
+    global batch."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

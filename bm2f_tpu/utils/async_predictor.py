@@ -63,13 +63,26 @@ class AsyncPredictor:
                     break
                 item, inputs = got
                 inflight.append((item, self.predict_fn(inputs)))
-                if len(inflight) > self.depth:
+                if len(inflight) >= self.depth:
                     it, out = inflight.pop(0)
                     yield it, self.postprocess(it, out)
             for it, out in inflight:
                 yield it, self.postprocess(it, out)
             inflight = []
         finally:
-            t.join(timeout=5.0)
+            # a consumer that abandons the generator early would otherwise
+            # leave the loader thread blocked on a full queue forever —
+            # drain so it can observe the stop and exit (bounded: if
+            # preprocess itself is slow we give up after 10 s and leave the
+            # daemon thread to die with the process)
+            import time as _time
+
+            deadline = _time.monotonic() + 10.0
+            while t.is_alive() and _time.monotonic() < deadline:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.1)
         if err:
             raise err[0]

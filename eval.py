@@ -329,15 +329,24 @@ def eval_panoptic(cfg, model, variables, dataset_name: str, max_images: int = 0,
 
     # one fusion compile per (input bucket, original-size bucket) pair;
     # fusion numerics are bucket-independent (the resize/fusion only reads
-    # the real (oh, ow) region)
-    _fns = {}
+    # the real (oh, ow) region). LRU-capped: datasets with very diverse
+    # original sizes would otherwise hold one compiled program per 128-px
+    # bucket pair forever (ADVICE r3)
+    from collections import OrderedDict
+
+    _fns: "OrderedDict" = OrderedDict()
+    _FNS_CAP = 32
 
     def predict_pan(images, valid_hw, orig_hw, OH, OW):
         key = (images.shape, OH, OW)
         if key not in _fns:
+            if len(_fns) >= _FNS_CAP:
+                _fns.popitem(last=False)
             _fns[key] = retry_if_oom(jax.jit(
                 lambda im, v, o: fuse_one(im, v, o, (OH, OW))
             ))
+        else:
+            _fns.move_to_end(key)
         return _fns[key](images, valid_hw, orig_hw)
 
     def _orig_bucket(s: int) -> int:

@@ -84,9 +84,15 @@ def run_video_eval(cfg, model, variables, dataset_name: str,
             print(f"WARNING: truncating video {dd.get('video_id')} from "
                   f"{T} to {max_frames} frames (max_frames set)")
             T = max_frames
-        # smallest ladder bucket that fits, else a ceil-to-8 bucket of its
-        # own (whole-clip inference, no silent truncation)
-        Tp = next((t for t in t_buckets if t >= T), -(-T // 8) * 8)
+        # smallest ladder bucket that fits; above the static ladder, extend
+        # geometrically (x1.5, ceil to 8) so a dataset of many distinct long
+        # lengths costs one XLA compile per ~1.5x band, not one per length —
+        # still whole-clip inference, no silent truncation
+        Tp = next((t for t in t_buckets if t >= T), None)
+        if Tp is None:
+            Tp = max(t_buckets)
+            while Tp < T:
+                Tp = -(-(Tp * 3) // 16) * 8  # ceil(Tp * 1.5 / 8) * 8
         h, w = dd["height"], dd["width"]
         scale = short_edge / min(h, w)
         if max(h, w) * scale > max_size:

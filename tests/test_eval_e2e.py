@@ -377,3 +377,39 @@ def test_video_eval_untruncated_long_clip():
     res = run_video_eval(cfg, model, variables, name, short_edge=48,
                          bucket=64, t_buckets=(4, 8, 16, 24, 40))
     assert "AP" in res and np.isfinite(res["AP"])
+
+
+@pytest.mark.slow
+def test_zoo_parity_runner_gate():
+    """tools/zoo_parity.py wiring: convert/eval/verify glue over a synthetic
+    dataset (the verify_results analogue of reference train_net.py:317).
+    Random weights vs zoo numbers must FAIL the gate; an absurdly wide
+    tolerance must PASS it — both through the one public entry point."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from zoo_parity import zoo_parity
+
+    from tests.test_data import _synthetic_instance_dicts
+
+    name = "bm2f_zoo_parity_synth"
+    if name in DatasetCatalog:
+        DatasetCatalog.remove(name)
+    DatasetCatalog.register(name, lambda: _synthetic_instance_dicts(2, h=96, w=128))
+
+    over = {
+        "model.decoder.dec_layers": 1,
+        "model.decoder.num_queries": 8,
+        "model.pixel_decoder.transformer_enc_layers": 1,
+        "model.num_classes": 5,
+        "input.min_size_test": 96,
+        "input.max_size_test": 160,
+    }
+    res, ok = zoo_parity("coco_instance_r50", name, weights="",
+                         expected={"AP": 43.7}, tolerance=0.3,
+                         do_assert=False, cfg_overrides=over)
+    assert "AP" in res and not ok  # random weights are nowhere near the zoo
+    res2, ok2 = zoo_parity("coco_instance_r50", name, weights="",
+                           expected={"AP": 43.7}, tolerance=1000.0,
+                           do_assert=False, cfg_overrides=over)
+    assert ok2

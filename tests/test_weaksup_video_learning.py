@@ -1,0 +1,205 @@
+"""Video weak-sup LEARNING proof incl. DINO temporal pairs (VERDICT r3
+stretch item 9; reference: criterion_proj_spatpair_temppair.py:269
+loss_temporal_pairwise + get_instance_temporal_pairs weaksup_utils.py:157).
+
+Scenario built so the temporal pairs carry signal the spatial losses lack:
+each object is fully visible in frame 0 but CAMOUFLAGED in frame 1 (its
+lower half drawn in near-background color). Spatial color-pairwise in
+frame 1 groups the camouflaged half with background; the synthetic DINO
+features are object-identity-based and consistent across frames, so the
+temporal pairs link frame-0's confidently-foreground pixels to frame-1's
+camouflaged ones and pull them toward foreground.
+
+Asserts: (a) the temporal-pairwise loss is wired and falls; (b) the pair
+construction is precise (most pairs connect points of the same true
+object); (c) the camouflaged-region recall in frame 1 is strictly better
+with temporal pairs than with spatial-only supervision on the same data,
+seeds, and step count."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bm2f_tpu.config import get_config
+from bm2f_tpu.parallel.mesh import shard_batch
+from bm2f_tpu.train.trainer import Trainer
+
+pytestmark = pytest.mark.slow
+
+B, T, G, H, W = 1, 2, 2, 64, 64
+HP = WP = 16  # DINO patch grid
+FC = 8  # feature channels
+BG = 120.0
+COLORS = [(210, 40, 40), (40, 80, 210)]
+CAMO = (132, 126, 118)  # near-background; spatial color sim ~ background
+
+
+def _ellipse(cy, cx, ry, rx, h=H, w=W):
+    yy, xx = np.mgrid[:h, :w]
+    return ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+
+
+def _make_clip():
+    images = np.full((B, T, H, W, 3), BG, np.float32)
+    true_masks = np.zeros((B, G, T, H, W), bool)
+    camo = np.zeros((B, G, T, H, W), bool)
+    box_masks = np.zeros((B, G, T, H, W), np.float32)
+    labels = np.zeros((B, G), np.int32)
+    centers = [(20, 20, 11, 12), (44, 44, 12, 11)]
+    for g, (cy, cx, ry, rx) in enumerate(centers):
+        labels[0, g] = g
+        for t in range(T):
+            ell = _ellipse(cy + 2 * t, cx + 2 * t, ry, rx)
+            true_masks[0, g, t] = ell
+            if t == 0:
+                images[0, t][ell] = COLORS[g]
+            else:
+                # frame 1: top half colored, bottom half camouflaged
+                yy = np.mgrid[:H, :W][0]
+                top = ell & (yy <= cy + 2 * t)
+                bot = ell & (yy > cy + 2 * t)
+                images[0, t][top] = COLORS[g]
+                images[0, t][bot] = CAMO
+                camo[0, g, t] = bot
+            ys, xs = np.where(ell)
+            box_masks[0, g, t, ys.min():ys.max() + 1, xs.min():xs.max() + 1] = 1
+
+    # synthetic DINO features: object-identity signatures, constant across
+    # frames (incl. the camouflaged half — DINO sees the object), small noise
+    rng = np.random.RandomState(0)
+    feats = rng.randn(B, T, HP, WP, FC).astype(np.float32) * 0.05
+    sig = np.zeros((G + 1, FC), np.float32)
+    sig[0, 0] = sig[1, 1] = 4.0  # objects
+    sig[2, 2] = 4.0  # background
+    for t in range(T):
+        owner = np.full((HP, WP), 2, np.int32)
+        for g in range(G):
+            # patch owned by object g if the patch center lies in its mask
+            centers_y = (np.arange(HP) * H) // HP + H // (2 * HP)
+            centers_x = (np.arange(WP) * W) // WP + W // (2 * WP)
+            inside = true_masks[0, g, t][np.ix_(centers_y, centers_x)]
+            owner[inside] = g
+        feats[0, t] += sig[owner]
+
+    batch = {
+        "images": jnp.asarray(images),
+        "labels": jnp.asarray(labels),
+        "masks": jnp.asarray(box_masks),
+        "valid": jnp.asarray(np.ones((B, G), bool)),
+        "dino_feats": jnp.asarray(feats),
+    }
+    return batch, true_masks, camo
+
+
+def _train(sup_type, batch, steps):
+    cfg = get_config("ytvis2019_video_r50", {
+        "model.loss.sup_type": sup_type,
+        "model.num_classes": 4,
+        "model.decoder.dec_layers": 2,
+        "model.decoder.num_queries": 8,
+        "model.pixel_decoder.transformer_enc_layers": 1,
+        "model.loss.weak.pairwise.warmup_iters": 15,
+        "model.loss.weak.pairwise.color_thresh": 0.0,
+        "mesh.data": 1,
+        "train.optimizer.base_lr": 2e-4,
+        "train.optimizer.clip_gradients": 1.0,
+        "train.optimizer.warmup_iters": 0,
+        "train.optimizer.max_iter": steps,
+    })
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["images"][:1])
+    step_fn = trainer.compile_step(state)
+    hist = []
+    with trainer.mesh:
+        sb = shard_batch(batch, trainer.mesh)
+        for _ in range(steps):
+            state, metrics = step_fn(state, sb)
+            hist.append({k: float(v) for k, v in metrics.items()})
+    from bm2f_tpu.models.maskformer import normalize_images
+
+    out = trainer.model.apply(
+        {"params": state.params, "frozen": state.frozen},
+        normalize_images(batch["images"], trainer.cfg.model),
+    )
+    return hist, out
+
+
+def _frame1_camo_recall(out, true_masks, camo):
+    """For each true object, the best-IoU query's recall on the
+    frame-1 camouflaged region (mask logits at stride 4)."""
+    pm = np.asarray(out["pred_masks"], np.float32)  # (B, Q, T, h, w)
+    true4 = true_masks[:, :, :, 2::4, 2::4]
+    camo4 = camo[:, :, :, 2::4, 2::4]
+    recalls = []
+    for g in range(G):
+        tm = true4[0, g]  # (T, h, w)
+        best_q, best_iou = 0, -1.0
+        for q in range(pm.shape[1]):
+            b = pm[0, q] > 0
+            inter = np.logical_and(b, tm).sum()
+            union = np.logical_or(b, tm).sum()
+            iou = inter / max(union, 1)
+            if iou > best_iou:
+                best_q, best_iou = q, iou
+        pred1 = pm[0, best_q, 1] > 0
+        c = camo4[0, g, 1]
+        recalls.append(np.logical_and(pred1, c).sum() / max(c.sum(), 1))
+    return float(np.mean(recalls))
+
+
+def test_temporal_pairs_precision_and_wiring():
+    """The DINO pair construction links same-object points across frames."""
+    batch, true_masks, _ = _make_clip()
+    from bm2f_tpu.losses.target_prep import build_video_weaksup_targets
+
+    targets = build_video_weaksup_targets(
+        batch["images"], batch["labels"], batch["masks"], batch["valid"],
+        batch["dino_feats"], color_thresh=0.0,
+    )
+    pairs = np.asarray(targets["temporal_pairs"])  # (B, G, T-1, Kp, 4)
+    pv = np.asarray(targets["temporal_pairs_valid"])
+    assert pv.any(), "no valid temporal pairs built"
+    h4, w4 = targets["box_masks"].shape[-2:]
+    true4 = true_masks[:, :, :, 2::4, 2::4]
+    good = total = 0
+    for g in range(G):
+        for k in range(pairs.shape[3]):
+            if not pv[0, g, 0, k]:
+                continue
+            x0, y0, x1, y1 = pairs[0, g, 0, k]
+            total += 1
+            if true4[0, g, 0, y0, x0] and true4[0, g, 1, y1, x1]:
+                good += 1
+    assert total >= 20, f"too few pairs to judge: {total}"
+    assert good / total > 0.7, f"pair precision {good}/{total}"
+
+
+def test_video_weaksup_temporal_overfit_helps():
+    steps = 100
+    batch, true_masks, camo = _make_clip()
+
+    hist_t, out_t = _train(
+        "mask_projection_and_spatial_pairwise_and_temporal_pairwise",
+        batch, steps,
+    )
+    # (a) temporal loss is wired, finite, and falls after warmup
+    lt = [h["loss_mask_temporal_pairwise"] for h in hist_t]
+    assert all(np.isfinite(lt))
+    assert np.mean(lt[-10:]) < np.mean(lt[15:25]) * 0.9, (lt[15:25], lt[-10:])
+    # projection loss falls too
+    lp = [h["loss_mask_projection"] for h in hist_t]
+    assert np.mean(lp[-10:]) < np.mean(lp[:10]) * 0.7
+
+    hist_s, out_s = _train(
+        "mask_projection_and_spatial_pairwise", batch, steps,
+    )
+
+    # (b) the camouflaged half of each object in frame 1 is recovered
+    # strictly better WITH temporal pairs (the spatial color loss actively
+    # groups it with background there)
+    rec_t = _frame1_camo_recall(out_t, true_masks, camo)
+    rec_s = _frame1_camo_recall(out_s, true_masks, camo)
+    print(f"frame-1 camo recall: temporal={rec_t:.3f} spatial-only={rec_s:.3f}")
+    assert rec_t > rec_s + 0.05, (rec_t, rec_s)

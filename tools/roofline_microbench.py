@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Deformable-attention gather roofline microbenchmarks (VERDICT r3 item 2:
+"break the scalar floor or prove it"). Measures, ON THE REAL CHIP, the two
+competing gather formulations for ONE level's points at production sizes so
+docs/ROOFLINE.md carries checkable numbers instead of assertions:
+
+  scalar : the production formulation — one scalar-addressed VMEM row copy
+           per descriptor (table row = 128 f32 lanes = the 2x2 corner
+           neighborhood), K copies per query per tile.
+  onehot : the MXU escape — per k, build a (QT, S) 0/1 selector in VMEM by
+           comparing an iota against the SMEM indices, then one
+           (QT, S) @ (S, 4D) dot. FLOPs = 2*QT*S*4D per tile per k vs QT*K
+           scalar issues; the selector build itself is QT*S VPU compares.
+
+Production shapes (800^2 B=4, R50): Q=13125 queries x B*M=32 x P=4 points
+PER LEVEL = 1.68M descriptors/level/layer; level tables S = 10000 / 2500 /
+625 rows (strides 8/16/32). The scalar loop is issue-rate-bound
+(~2.4 ns/copy measured end-to-end), so the one-hot dot only wins where
+2*S*4D FLOP per descriptor beats one 2.3-cycle issue — i.e. possibly at
+S=625, never at S=10000.
+
+Usage: python tools/roofline_microbench.py [--iters 30] [--levels 625 2500 10000]
+Prints one JSON line per (impl, S) with ns/descriptor and ms per
+level-layer (1.68M descriptors).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "true")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+BM = 32  # B=4 x M=8 heads
+QP = 13312  # 13125 queries padded to 26 x 512
+QT = 512
+K = 4  # points per level
+D4 = 128  # table row lanes (2x2 corners x D=32)
+
+
+def _kernels():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    VMEM_LIMIT = 100 * 1024 * 1024
+    interpret = (
+        pltpu.InterpretParams() if jax.default_backend() != "tpu" else False
+    )
+
+    def scalar_kernel(idx_ref, table_ref, out_ref, scratch_ref):
+        def body(qi, _):
+            for k in range(K):
+                a = idx_ref[0, k, qi]
+                scratch_ref[pl.ds(k * QT + qi, 1), :] = table_ref[
+                    0, pl.ds(a, 1), :
+                ]
+            return 0
+
+        jax.lax.fori_loop(0, QT, body, 0)
+        acc = scratch_ref[0:QT]
+        for k in range(1, K):
+            acc = acc + scratch_ref[k * QT : (k + 1) * QT]
+        out_ref[0] = acc
+
+    # one-hot variant: idx arrives as a VMEM block (an SMEM->vector
+    # materialization loop would itself be scalar-issue bound)
+    def onehot_kernel_v(idxv_ref, table_ref, out_ref, *, S):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (QT, S), 1)
+        acc = None
+        for k in range(K):
+            idx_k = idxv_ref[0, k, :]  # (QT,) i32 VMEM
+            sel = (iota == idx_k[:, None]).astype(jnp.float32)  # (QT, S)
+            t = jax.lax.dot_general(
+                sel, table_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = t if acc is None else acc + t
+        out_ref[0] = acc
+
+    def make_scalar(S):
+        return pl.pallas_call(
+            scalar_kernel,
+            grid=(BM, QP // QT),
+            in_specs=[
+                pl.BlockSpec((1, K, QT), lambda b, i: (b, 0, i),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, S, D4), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, QT, D4), lambda b, i: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((BM, QP, D4), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((K * QT, D4), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT),
+            interpret=interpret,
+        )
+
+    def make_onehot(S):
+        return pl.pallas_call(
+            functools.partial(onehot_kernel_v, S=S),
+            grid=(BM, QP // QT),
+            in_specs=[
+                pl.BlockSpec((1, K, QT), lambda b, i: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, D4), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, QT, D4), lambda b, i: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((BM, QP, D4), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT),
+            interpret=interpret,
+        )
+
+    return make_scalar, make_onehot
+
+
+def bench_level(S: int, iters: int):
+    import jax
+    import jax.numpy as jnp
+
+    make_scalar, make_onehot = _kernels()
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.randn(BM, S, D4).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, S, (BM, K, QP)).astype(np.int32))
+
+    n_desc = BM * QP * K
+    results = {}
+    for name, make in (("scalar", make_scalar), ("onehot", make_onehot)):
+        fn = jax.jit(lambda t, i, f=make(S): f(i, t))
+        # correctness cross-check (gather sum over K)
+        out = fn(table, idx)
+        ref = None
+        if S <= 640:  # cheap XLA oracle at the small level only
+            g = jnp.take_along_axis(
+                table[:, None], np.asarray(idx)[..., None].astype(np.int32),
+                axis=2,
+            ).sum(1)
+            ref = float(jnp.max(jnp.abs(out - g)))
+        # timing with data-dependent chaining (axon dedupes identical
+        # dispatches); sync by pulling a scalar
+        shift = out[0, 0, 0] * 1e-9
+        float(jnp.sum(shift))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(table + shift, idx)
+            shift = out[0, 0, 0] * 1e-9
+        float(jnp.sum(shift))
+        dt = (time.perf_counter() - t0) / iters
+        results[name] = dt
+        print(json.dumps({
+            "impl": name, "S": S, "ms_per_level_layer": round(dt * 1e3, 3),
+            "ns_per_descriptor": round(dt / n_desc * 1e9, 3),
+            "max_err_vs_xla": ref,
+        }), flush=True)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--levels", type=int, nargs="+", default=[625, 2500])
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes, CPU interpret mode (correctness only)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.smoke:
+        global BM, QP, QT
+        BM, QP, QT = 2, 16, 8
+        for S in (40,):
+            bench_level(S, iters=1)
+        return
+    assert jax.default_backend() == "tpu", "run on the real chip"
+    for S in args.levels:
+        bench_level(S, args.iters)
+
+
+if __name__ == "__main__":
+    main()

@@ -85,9 +85,27 @@ def _kernels():
             acc = t if acc is None else acc + t
         out_ref[0] = acc
 
-    def make_scalar(S):
+    def scalar_kernel_bf16(idx_ref, table_ref, out_ref, scratch_ref):
+        # bf16 single-table retry (round-2 Mosaic compile failure;
+        # VERDICT r3 asked for a re-test): identical issue count, half
+        # bandwidth/VMEM; accumulate in f32 after the copies
+        def body(qi, _):
+            for k in range(K):
+                a = idx_ref[0, k, qi]
+                scratch_ref[pl.ds(k * QT + qi, 1), :] = table_ref[
+                    0, pl.ds(a, 1), :
+                ]
+            return 0
+
+        jax.lax.fori_loop(0, QT, body, 0)
+        acc = scratch_ref[0:QT].astype(jnp.float32)
+        for k in range(1, K):
+            acc = acc + scratch_ref[k * QT : (k + 1) * QT].astype(jnp.float32)
+        out_ref[0] = acc
+
+    def _make_scalar_any(S, dtype, kernel):
         return pl.pallas_call(
-            scalar_kernel,
+            kernel,
             grid=(BM, QP // QT),
             in_specs=[
                 pl.BlockSpec((1, K, QT), lambda b, i: (b, 0, i),
@@ -98,11 +116,18 @@ def _kernels():
             out_specs=pl.BlockSpec((1, QT, D4), lambda b, i: (b, i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((BM, QP, D4), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((K * QT, D4), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((K * QT, D4), dtype)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),
             interpret=interpret,
         )
+
+    def make_scalar(S):
+        return _make_scalar_any(S, jnp.float32, scalar_kernel)
+
+    def make_scalar_bf16(S):
+        f = _make_scalar_any(S, jnp.bfloat16, scalar_kernel_bf16)
+        return lambda i, t: f(i, t.astype(jnp.bfloat16))
 
     def make_onehot(S):
         return pl.pallas_call(
@@ -122,24 +147,36 @@ def _kernels():
             interpret=interpret,
         )
 
-    return make_scalar, make_onehot
+    return make_scalar, make_onehot, make_scalar_bf16
 
 
 def bench_level(S: int, iters: int):
     import jax
     import jax.numpy as jnp
 
-    make_scalar, make_onehot = _kernels()
+    make_scalar, make_onehot, make_scalar_bf16 = _kernels()
     rng = np.random.RandomState(0)
-    table = jnp.asarray(rng.randn(BM, S, D4).astype(np.float32))
+    # bf16-representable values so the bf16-table variant is exactly
+    # comparable to the f32 oracle (production prep is cast-last bf16 anyway)
+    table = jnp.asarray(
+        rng.randn(BM, S, D4).astype(np.float32)
+    ).astype(jnp.bfloat16).astype(jnp.float32)
     idx = jnp.asarray(rng.randint(0, S, (BM, K, QP)).astype(np.int32))
 
     n_desc = BM * QP * K
     results = {}
-    for name, make in (("scalar", make_scalar), ("onehot", make_onehot)):
-        fn = jax.jit(lambda t, i, f=make(S): f(i, t))
-        # correctness cross-check (gather sum over K)
-        out = fn(table, idx)
+    for name, make in (("scalar", make_scalar), ("onehot", make_onehot),
+                       ("scalar_bf16", make_scalar_bf16)):
+        try:
+            fn = jax.jit(lambda t, i, f=make(S): f(i, t))
+            # correctness cross-check (gather sum over K); compile happens
+            # here — Mosaic failures are recorded, not fatal
+            out = fn(table, idx)
+        except Exception as e:  # noqa: BLE001 — record compile failures
+            print(json.dumps({"impl": name, "S": S,
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
+            continue
         ref = None
         if S <= 640:  # cheap XLA oracle at the small level only
             g = jnp.take_along_axis(

@@ -56,20 +56,29 @@ def _loss_labels(pred_logits, tgt_labels, tgt_valid, assignment, cfg):
 
 
 def _loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment, num_masks,
-                cfg, per_group: int = 1):
+                cfg, per_group: int = 1, tgt_table=None):
     """Point-sampled sigmoid-CE + dice on matched masks
     (reference: criterion.py:827-883). With per_group > 1 the leading batch
     axis is treated as per_group groups (decoder layers) and per-group
     losses are returned as (per_group,) arrays.
 
-    TPU redesign of the point sampling: candidate and random points are
-    shared across the masks of an image (the reference already shares points
-    across all 100 queries in its matcher, matcher.py:528-540) so every
-    gather is a WIDE row gather over the G-mask channel axis — per-mask
-    point gathers are width-1 rows, ~25x more gather descriptors for the
-    same information (descriptor-bound on v5e). The per-mask TOP-K
-    uncertainty selection is unchanged."""
-    from bm2f_tpu.ops import point_sample
+    TPU redesign of the point sampling (descriptor-bound on v5e, the train
+    step's largest non-kernel cost in the round-3 trace):
+    - candidate and random points are shared across the masks of an image
+      (the reference already shares points across all 100 queries in its
+      matcher, matcher.py:528-540) so every gather is a WIDE row gather
+      over the G-mask channel axis — per-mask point gathers are width-1
+      rows, ~25x more gather descriptors for the same information;
+    - each tensor is sampled through `point_sample_packed`, whose
+      corner-packed row table turns the 4 bilinear-corner gathers into ONE
+      (4x fewer descriptors, bitwise-identical values and grads);
+    - candidate + random points go through one gather (concatenated coords);
+    - the importance pick gathers pred and tgt in one take_along_axis on
+      2-wide rows (was two separate element gathers).
+    The per-mask TOP-K uncertainty selection is unchanged. `tgt_table` is an
+    optional prebuilt `build_corner_table` of the float32 NHWC targets —
+    the caller reuses one table across all decoder layers."""
+    from bm2f_tpu.ops.sampling import point_sample_packed
 
     B, Q, h, w = pred_masks.shape
     G = tgt_valid.shape[1]
@@ -85,28 +94,32 @@ def _loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment, num_masks,
     n_cand = int(cfg.num_points * cfg.oversample_ratio)
     r1, r2 = jax.random.split(rng)
 
-    # shared candidate points per image: wide (G-channel) gathers
+    # shared candidate + random points per image, one packed gather each
     cand = jax.random.uniform(r1, (B, n_cand, 2), jnp.float32)
-    pred_c = point_sample(src.transpose(0, 2, 3, 1), cand)  # (B, n_cand, G)
-    tgt_c = point_sample(tgt.transpose(0, 2, 3, 1), cand)
+    pts = cand
+    if n_rand > 0:
+        randc = jax.random.uniform(r2, (B, n_rand, 2), jnp.float32)
+        pts = jnp.concatenate([cand, randc], axis=1)
+    pred_a = point_sample_packed(src.transpose(0, 2, 3, 1), pts)
+    tgt_a = point_sample_packed(
+        tgt.transpose(0, 2, 3, 1), pts, table=tgt_table
+    )  # (B, n_cand [+ n_rand], G)
+    pred_c, tgt_c = pred_a[:, :n_cand], tgt_a[:, :n_cand]
 
     # per-mask importance selection (most uncertain = smallest |logit|)
     unc = -jnp.abs(jax.lax.stop_gradient(pred_c)).transpose(0, 2, 1)  # (B,G,n_cand)
     _, sel = jax.lax.top_k(unc.reshape(B * G, n_cand), n_imp)
     sel = jax.lax.stop_gradient(sel)
 
-    def pick(v):  # (B, n_cand, G) -> (B*G, n_imp)
-        v2 = v.transpose(0, 2, 1).reshape(B * G, n_cand)
-        return jnp.take_along_axis(v2, sel, axis=1)
-
-    pred_imp, tgt_imp = pick(pred_c), pick(tgt_c)
+    # pick pred+tgt together: one gather of 2-wide rows
+    both = jnp.stack([pred_c, tgt_c], axis=-1)  # (B, n_cand, G, 2)
+    both = both.transpose(0, 2, 1, 3).reshape(B * G, n_cand, 2)
+    picked = jnp.take_along_axis(both, sel[..., None], axis=1)
+    pred_imp, tgt_imp = picked[..., 0], picked[..., 1]
 
     if n_rand > 0:
-        randc = jax.random.uniform(r2, (B, n_rand, 2), jnp.float32)
-        pred_r = point_sample(src.transpose(0, 2, 3, 1), randc)
-        tgt_r = point_sample(tgt.transpose(0, 2, 3, 1), randc)
-        pred_r = pred_r.transpose(0, 2, 1).reshape(B * G, n_rand)
-        tgt_r = tgt_r.transpose(0, 2, 1).reshape(B * G, n_rand)
+        pred_r = pred_a[:, n_cand:].transpose(0, 2, 1).reshape(B * G, n_rand)
+        tgt_r = tgt_a[:, n_cand:].transpose(0, 2, 1).reshape(B * G, n_rand)
         point_logits = jnp.concatenate([pred_imp, pred_r], axis=1)
         point_labels = jnp.concatenate([tgt_imp, tgt_r], axis=1)
     else:
@@ -163,6 +176,14 @@ def set_criterion(
     # (3.31 vs 2.45 s/step at 1024^2 — the huge fused gathers schedule
     # worse); per-layer ops with ONE batched assignment win.
     rngs = jax.random.split(rng, 2 * L1 + 1)
+
+    # one corner-packed gather table over the (constant) targets, shared by
+    # every layer's matcher costs and mask losses
+    from bm2f_tpu.ops.sampling import build_corner_table
+
+    tgt_nhwc = tgt_masks.astype(jnp.float32).transpose(0, 2, 3, 1)
+    tgt_table = build_corner_table(tgt_nhwc)
+
     costs = []
     for i in range(L1):
         costs.append(
@@ -177,6 +198,8 @@ def set_criterion(
                 cost_class=cfg.class_weight,
                 cost_mask=cfg.mask_weight,
                 cost_dice=cfg.dice_weight,
+                tgt_nhwc=tgt_nhwc,
+                tgt_table=tgt_table,
             )
         )
     # (B, L1, Q, G): batch-major so sharded assign_fns split over images
@@ -199,7 +222,7 @@ def set_criterion(
         )
         loss_mask, loss_dice = _loss_masks(
             rngs[L1 + i], masks_all[i], tgt_masks, tgt_valid,
-            assignments_l[i], num_masks, cfg,
+            assignments_l[i], num_masks, cfg, tgt_table=tgt_table,
         )
         loss_mask, loss_dice = loss_mask[0], loss_dice[0]
         losses[f"loss_ce{suffix}"] = loss_ce

@@ -63,12 +63,16 @@ def video_matcher_costs(
 
 
 def _video_loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment,
-                      num_masks, cfg):
+                      num_masks, cfg, tgt_table=None):
     """pred (B,Q,T,h,w), tgt (B,G,T,Hg,Wg): per-frame point-sampled losses
     summed over (instance, frame), / num_masks (instances). Candidate/random
-    points are shared per (image, frame) — wide G-channel gathers (see
-    criterion._loss_masks for the rationale)."""
-    from bm2f_tpu.ops import point_sample
+    points are shared per (image, frame) — wide G-channel gathers through
+    the corner-packed one-gather-per-point sampler, with the pred+tgt
+    importance pick fused into one 2-wide take_along_axis (see
+    criterion._loss_masks for the rationale and descriptor math).
+    `tgt_table` optionally carries the prebuilt corner table of the
+    (BT, Hg, Wg, G) float32 targets, shared across decoder layers."""
+    from bm2f_tpu.ops.sampling import point_sample_packed
 
     B, Q, T, h, w = pred_masks.shape
     G = tgt_valid.shape[1]
@@ -91,23 +95,26 @@ def _video_loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment,
     )
 
     cand = jax.random.uniform(r1, (BT, n_cand, 2), jnp.float32)
-    pred_c = point_sample(src_bt, cand)  # (BT, n_cand, G)
-    tgt_c = point_sample(tgt_bt, cand)
+    pts = cand
+    if n_rand > 0:
+        randc = jax.random.uniform(r2, (BT, n_rand, 2), jnp.float32)
+        pts = jnp.concatenate([cand, randc], axis=1)
+    pred_a = point_sample_packed(src_bt, pts)  # (BT, n_cand [+n_rand], G)
+    tgt_a = point_sample_packed(tgt_bt, pts, table=tgt_table)
+    pred_c, tgt_c = pred_a[:, :n_cand], tgt_a[:, :n_cand]
 
     unc = -jnp.abs(jax.lax.stop_gradient(pred_c)).transpose(0, 2, 1)
     _, sel = jax.lax.top_k(unc.reshape(BT * G, n_cand), n_imp)
     sel = jax.lax.stop_gradient(sel)
 
-    def pick(v):
-        return jnp.take_along_axis(
-            v.transpose(0, 2, 1).reshape(BT * G, n_cand), sel, axis=1
-        )
+    both = jnp.stack([pred_c, tgt_c], axis=-1)  # (BT, n_cand, G, 2)
+    both = both.transpose(0, 2, 1, 3).reshape(BT * G, n_cand, 2)
+    picked = jnp.take_along_axis(both, sel[..., None], axis=1)
+    pred_imp, tgt_imp = picked[..., 0], picked[..., 1]
 
-    pred_imp, tgt_imp = pick(pred_c), pick(tgt_c)
     if n_rand > 0:
-        randc = jax.random.uniform(r2, (BT, n_rand, 2), jnp.float32)
-        pred_r = point_sample(src_bt, randc).transpose(0, 2, 1).reshape(BT * G, n_rand)
-        tgt_r = point_sample(tgt_bt, randc).transpose(0, 2, 1).reshape(BT * G, n_rand)
+        pred_r = pred_a[:, n_cand:].transpose(0, 2, 1).reshape(BT * G, n_rand)
+        tgt_r = tgt_a[:, n_cand:].transpose(0, 2, 1).reshape(BT * G, n_rand)
         point_logits = jnp.concatenate([pred_imp, pred_r], axis=1)
         point_labels = jnp.concatenate([tgt_imp, tgt_r], axis=1)
     else:
@@ -172,6 +179,18 @@ def video_set_criterion(
 
     num_masks = jnp.maximum(jnp.sum(tgt_valid.astype(jnp.float32)), 1.0)
 
+    # shared corner table over the constant per-frame targets (see
+    # criterion.set_criterion)
+    from bm2f_tpu.ops.sampling import build_corner_table
+
+    B_, G_, T_ = tgt_masks.shape[:3]
+    tgt_bt = (
+        tgt_masks.astype(jnp.float32)
+        .transpose(0, 2, 3, 4, 1)
+        .reshape(B_ * T_, tgt_masks.shape[3], tgt_masks.shape[4], G_)
+    )
+    tgt_table = build_corner_table(tgt_bt)
+
     losses: Dict[str, jnp.ndarray] = {}
     total = 0.0
     for i in range(L1):
@@ -179,7 +198,7 @@ def video_set_criterion(
         loss_ce = _loss_labels(logits_all[i], tgt_labels, tgt_valid, assignments[i], cfg)
         loss_mask, loss_dice = _video_loss_masks(
             rngs[L1 + i], masks_all[i], tgt_masks, tgt_valid, assignments[i],
-            num_masks, cfg,
+            num_masks, cfg, tgt_table=tgt_table,
         )
         losses[f"loss_ce{suffix}"] = loss_ce
         losses[f"loss_mask{suffix}"] = loss_mask

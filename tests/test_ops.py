@@ -71,6 +71,44 @@ def test_point_sample_is_grid_sample_01(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_point_sample_packed_is_exact(rng):
+    """The corner-packed one-gather-per-point sampler must be BITWISE equal
+    to point_sample (values and grads), including the tricky border cases:
+    points within half a pixel of the top/left edge have bilinear base
+    (y0, x0) = -1 while their +1 corners are in range."""
+    from bm2f_tpu.ops.sampling import build_corner_table, point_sample_packed
+
+    B, H, W, C, N = 3, 17, 23, 5, 400
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    coords = rng.rand(B, N, 2).astype(np.float32)
+    coords[:, :40] *= 0.01  # top-left border (base = -1 cases)
+    coords[:, 40:80] = 1.0 - coords[:, 40:80] * 0.01  # bottom-right border
+    coords[:, 80] = [0.0, 0.0]
+    coords[:, 81] = [1.0, 1.0]
+    coords[:, 82] = [0.0, 1.0]
+    coords[:, 83] = [1.0, 0.0]
+    coords = jnp.asarray(coords)
+
+    a = point_sample(x, coords)
+    b = point_sample_packed(x, coords)
+    assert bool(jnp.all(a == b)), float(jnp.max(jnp.abs(a - b)))
+
+    # prebuilt-table path
+    c = point_sample_packed(x, coords, table=build_corner_table(x))
+    assert bool(jnp.all(a == c))
+
+    # gradient parity through a nonlinearity
+    g1 = jax.grad(lambda im: jnp.sum(jnp.sin(point_sample(im, coords) * 3)))(x)
+    g2 = jax.grad(
+        lambda im: jnp.sum(jnp.sin(point_sample_packed(im, coords) * 3))
+    )(x)
+    assert bool(jnp.all(g1 == g2)), float(jnp.max(jnp.abs(g1 - g2)))
+
+    # out-of-range points (grid beyond [-1, 1]) zero out identically
+    oor = jnp.asarray(rng.rand(B, 64, 2).astype(np.float32) * 1.4 - 0.2)
+    assert bool(jnp.all(point_sample(x, oor) == point_sample_packed(x, oor)))
+
+
 def _torch_ms_deform_attn(value, spatial_shapes, loc, attn):
     """Independent torch implementation of multi-scale deformable attention
     (standard Deformable-DETR math) used as oracle."""

@@ -64,32 +64,60 @@ def run_steps(trace_dir, n_steps=3):
 
 
 def parse_trace(trace_dir, n_steps):
-    """Aggregate device-lane op durations from the chrome-trace json.gz."""
+    """Aggregate device-lane op durations from the chrome-trace json.gz.
+
+    Sums only the 'XLA Ops' thread lane of the TPU process (other lanes —
+    Steps, XLA Modules, TC Overlay — wrap the same time and would double
+    count), and attributes time three ways: by op name, by hlo_category,
+    and by the PYTHON SOURCE LINE the op's metadata carries. The by-source
+    view is what names the diffuse small-fusion tail: the round-3 trace
+    pinned ~120 ms/step of criterion gathers this way."""
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     assert paths, f"no trace under {trace_dir}"
     path = max(paths, key=os.path.getmtime)
     with gzip.open(path, "rt") as f:
         trace = json.load(f)
-    # device lanes: process names containing "TPU" / "Axon" (not python host)
+    # device process + its "XLA Ops" thread lane
     dev_pids = set()
     for ev in trace["traceEvents"]:
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             pname = ev["args"].get("name", "")
             if any(k in pname for k in ("TPU", "Axon", "axon", "/device:")):
                 dev_pids.add(ev["pid"])
+    op_tids = set()
+    for ev in trace["traceEvents"]:
+        if (ev.get("ph") == "M" and ev.get("name") == "thread_name"
+                and ev.get("pid") in dev_pids
+                and ev["args"].get("name") == "XLA Ops"):
+            op_tids.add((ev["pid"], ev["tid"]))
     tot = defaultdict(float)
     cnt = defaultdict(int)
+    by_src = defaultdict(float)
+    src_cnt = defaultdict(int)
+    by_cat = defaultdict(float)
     for ev in trace["traceEvents"]:
-        if ev.get("ph") == "X" and ev.get("pid") in dev_pids:
+        if ev.get("ph") == "X" and (ev.get("pid"), ev.get("tid")) in op_tids:
+            a = ev.get("args", {})
+            ms = ev.get("dur", 0) / 1e3  # us -> ms
             name = ev.get("name", "?")
-            tot[name] += ev.get("dur", 0) / 1e3  # us -> ms
+            tot[name] += ms
             cnt[name] += 1
+            src = a.get("source", "<none>")
+            by_src[src] += ms
+            src_cnt[src] += 1
+            by_cat[a.get("hlo_category", "?")] += ms
     total = sum(tot.values())
     print(f"\ndevice total {total:.1f} ms over {n_steps} steps "
           f"({total/n_steps:.1f} ms/step); top ops per step:")
-    for name, ms in sorted(tot.items(), key=lambda kv: -kv[1])[:40]:
+    for name, ms in sorted(tot.items(), key=lambda kv: -kv[1])[:30]:
         print(f"  {ms/n_steps:9.2f} ms  x{cnt[name]//n_steps:<4d} {name[:100]}")
+    print("\nby hlo_category (ms/step):")
+    for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"  {v/n_steps:9.2f}  {k}")
+    print("\ntop 30 source lines (ms/step):")
+    for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"  {v/n_steps:9.2f} x{src_cnt[k]//n_steps:<5d} {k}")
     return tot
 
 

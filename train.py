@@ -27,6 +27,126 @@ def parse_overrides(pairs):
     return out
 
 
+# batch keys forwarded to the device (everything else is host-side metadata)
+BATCH_KEYS = ("images", "labels", "masks", "valid", "dino_feats")
+
+# host run-ahead bound: how many dispatched-but-unsynced steps may be in
+# flight. >=2 keeps the device busy (double buffering: the next batch's
+# host->device upload overlaps the current step); small enough that queued
+# input batches stay bounded (~DEPTH x batch bytes of device memory).
+ASYNC_DEPTH = 4
+
+
+def run_train_loop(cfg, trainer, state, step_fn, loader, first_batch, ckpt,
+                   storage, writers, lr_sched, dispatch_eval=None,
+                   eval_dataset="", profile_dir=None):
+    """The training loop, written for asynchronous dispatch (reference loop
+    semantics: train_net.py:184-263 / d2 SimpleTrainer, which hides the
+    same costs behind CUDA streams):
+
+    - NO per-iteration device sync: pulling `int(state.step)` or metric
+      floats every step blocks the host on step completion and costs a
+      full host round trip (~27 ms on the tunneled TPU) before the next
+      batch's upload even starts. The iteration counter is tracked
+      host-side (the step fn increments state.step by exactly 1).
+    - per-step metric scalars are stacked into ONE device vector at
+      dispatch time; the host syncs each vector only once it is
+      ASYNC_DEPTH steps old (by then the device has long finished it, so
+      the pull returns without stalling the pipeline), and log writers
+      flush at log_period from already-pulled host rows.
+    - the next batch is collated and device_put WHILE the current step
+      runs on the device.
+
+    Returns the final state. Exercised by tests/test_train_loop.py against
+    a synthetic loader (iteration accounting, checkpoint cadence, metric
+    batching exactness)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bm2f_tpu.parallel.mesh import shard_batch
+
+    max_iter = cfg.train.optimizer.max_iter
+    log_period = max(int(cfg.train.log_period), 1)
+
+    def to_device(batch):
+        return shard_batch(
+            {k: jnp.asarray(v) for k, v in batch.items() if k in BATCH_KEYS},
+            trainer.mesh,
+        )
+
+    it = int(state.step)
+    t_start, it_start = time.time(), it
+    metric_keys = []
+    pending = []  # (iter, stacked metric vector, device) — unsynced steps
+    host_rows = []  # (iter, np.ndarray row) — synced, awaiting flush
+
+    def drain(n_keep):
+        """Pull pending metric vectors until at most n_keep remain."""
+        while len(pending) > n_keep:
+            i0, v0 = pending.pop(0)
+            host_rows.append((i0, np.asarray(v0)))
+
+    def flush():
+        drain(0)
+        if not host_rows:
+            return
+        now = time.time()
+        for i_, row in host_rows:
+            scalars = dict(zip(metric_keys, row.tolist()))
+            scalars["lr"] = float(lr_sched(i_))
+            if it > it_start:
+                s_per_it = (now - t_start) / (it - it_start)
+                scalars["eta_hours"] = s_per_it * (max_iter - i_) / 3600.0
+            storage.put_scalars(i_, **scalars)
+            for w in writers:
+                w.write(storage)
+        host_rows.clear()
+
+    with trainer.mesh:
+        sb = to_device(first_batch)
+    while it < max_iter:
+        if profile_dir is not None and it == 10:
+            jax.profiler.start_trace(profile_dir)
+        with trainer.mesh:
+            state, metrics = step_fn(state, sb)  # async dispatch
+            if not metric_keys:
+                metric_keys = list(metrics.keys())
+            pending.append(
+                (it + 1, jnp.stack([metrics[k] for k in metric_keys]))
+            )
+        # host collation + upload of the NEXT batch overlap the device step
+        batch = next(loader)
+        with trainer.mesh:
+            sb = to_device(batch)
+        it += 1
+        drain(ASYNC_DEPTH)
+        if profile_dir is not None and it == 15:
+            jax.profiler.stop_trace()
+        do_ckpt = it % cfg.train.checkpoint_period == 0
+        do_eval = bool(
+            cfg.train.eval_period and dispatch_eval is not None
+            and eval_dataset and it % cfg.train.eval_period == 0
+            and it < max_iter
+        )
+        if it % log_period == 0 or do_ckpt or do_eval or it >= max_iter:
+            flush()
+        if do_ckpt:
+            ckpt.save(it, state)
+        if do_eval:
+            eval_res = dispatch_eval(
+                {"params": jax.device_get(state.params),
+                 "frozen": jax.device_get(state.frozen)},
+                eval_dataset,
+            )
+            storage.put_scalars(
+                it, **{f"eval/{k}": float(v) for k, v in eval_res.items()}
+            )
+    flush()
+    ckpt.save(it, state, force=True)
+    return state
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True, help="preset name (bm2f_tpu.config.PRESETS)")
@@ -132,48 +252,15 @@ def main():
     from bm2f_tpu.train.optim import make_lr_schedule
 
     lr_sched = make_lr_schedule(cfg.train.optimizer)
-    max_iter = cfg.train.optimizer.max_iter
-    batch = first
-    it = int(state.step)
-    t_start, it_start = time.time(), it
-    while it < max_iter:
-        if args.profile and it == 10:
-            jax.profiler.start_trace(os.path.join(args.output, "profile"))
-        with trainer.mesh:
-            sb = shard_batch(
-                {k: jnp.asarray(v) for k, v in batch.items()
-                 if k in ("images", "labels", "masks", "valid", "dino_feats")},
-                trainer.mesh,
-            )
-            state, metrics = step_fn(state, sb)
-        if args.profile and it == 15:
-            jax.profiler.stop_trace()
-        it = int(state.step)
-        scalars = {k: float(v) for k, v in metrics.items()}
-        scalars["lr"] = float(lr_sched(it))
-        if it > it_start:
-            s_per_it = (time.time() - t_start) / (it - it_start)
-            scalars["eta_hours"] = s_per_it * (max_iter - it) / 3600.0
-        storage.put_scalars(it, **scalars)
-        for w in writers:
-            w.write(storage)
-        if it % cfg.train.checkpoint_period == 0:
-            ckpt.save(it, state)
-        # periodic in-training evaluation (reference: d2 EvalHook at
-        # TEST.EVAL_PERIOD, train_net.py:68-148 evaluator dispatch)
-        if (cfg.train.eval_period and args.eval_dataset
-                and it % cfg.train.eval_period == 0 and it < max_iter):
-            eval_res = dispatch_eval(
-                {"params": jax.device_get(state.params),
-                 "frozen": jax.device_get(state.frozen)},
-                args.eval_dataset,
-            )
-            storage.put_scalars(it, **{f"eval/{k}": float(v)
-                                       for k, v in eval_res.items()})
-        batch = next(loader)
-
-    ckpt.save(it, state, force=True)
-    print(f"training done at iter {it}")
+    # periodic in-training evaluation (reference: d2 EvalHook at
+    # TEST.EVAL_PERIOD, train_net.py:68-148 evaluator dispatch) happens
+    # inside the loop via dispatch_eval
+    state = run_train_loop(
+        cfg, trainer, state, step_fn, loader, first, ckpt, storage, writers,
+        lr_sched, dispatch_eval=dispatch_eval, eval_dataset=args.eval_dataset,
+        profile_dir=os.path.join(args.output, "profile") if args.profile else None,
+    )
+    print(f"training done at iter {int(state.step)}")
 
 
 if __name__ == "__main__":

@@ -18,10 +18,6 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from bm2f_tpu.losses.point_features import (
-    get_uncertain_point_coords_with_randomness,
-    sample_mask_points,
-)
 from bm2f_tpu.matching.matcher import hungarian_matcher_costs
 
 

@@ -16,10 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from bm2f_tpu.losses.criterion import SetCriterionConfig, _loss_labels
-from bm2f_tpu.losses.point_features import (
-    get_uncertain_point_coords_with_randomness,
-    sample_mask_points,
-)
 from bm2f_tpu.matching.matcher import (
     PAD_COST,
     batch_dice_cost,

@@ -27,13 +27,21 @@ _LAP_LIB = None
 _LAP_CHECKED = False
 
 
-def _load_native_lap():
-    global _LAP_LIB, _LAP_CHECKED
-    if _LAP_CHECKED:
-        return _LAP_LIB
-    _LAP_CHECKED = True
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    lap_dir = os.path.join(here, "native", "lap")
+def _find_native_lap() -> str | None:
+    """Locate (or build) the C++ JV solver shared library.
+
+    Two layouts: a pip install ships it as `bm2f_tpu/matching/liblap*.so`
+    (built by setup.py as a plain -shared ctypes library), while a source
+    checkout keeps it at `<repo>/native/lap/liblap.so` and `make`s it on
+    first use."""
+    import glob as _glob
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    hits = _glob.glob(os.path.join(pkg_dir, "liblap*.so"))
+    if hits:
+        return hits[0]
+    root = os.path.dirname(os.path.dirname(pkg_dir))
+    lap_dir = os.path.join(root, "native", "lap")
     path = os.path.join(lap_dir, "liblap.so")
     if not os.path.exists(path) and os.path.exists(os.path.join(lap_dir, "Makefile")):
         import subprocess
@@ -41,7 +49,16 @@ def _load_native_lap():
         subprocess.run(
             ["make", "-C", lap_dir], capture_output=True, check=False
         )
-    if os.path.exists(path):
+    return path if os.path.exists(path) else None
+
+
+def _load_native_lap():
+    global _LAP_LIB, _LAP_CHECKED
+    if _LAP_CHECKED:
+        return _LAP_LIB
+    _LAP_CHECKED = True
+    path = _find_native_lap()
+    if path is not None:
         lib = ctypes.CDLL(path)
         lib.solve_lap_batch.argtypes = [
             ctypes.POINTER(ctypes.c_float),  # costs (B, Q, G)

@@ -16,11 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from bm2f_tpu.losses.criterion import SetCriterionConfig, _loss_labels
-from bm2f_tpu.matching.matcher import (
-    PAD_COST,
-    batch_dice_cost,
-    batch_sigmoid_ce_cost,
-)
+from bm2f_tpu.matching.matcher import PAD_COST
 from bm2f_tpu.ops import point_sample
 
 
@@ -43,17 +39,31 @@ def video_matcher_costs(
     # shared random points per image, sampled in every frame
     coords = jax.random.uniform(rng, (B, num_points, 2), jnp.float32)
 
-    def frame_points(masks):  # (B, N_masks, T, H, W) -> (B, N_masks, T*P)
+    def frame_points(masks):  # (B, N_masks, T, H, W) -> (B, P, N_masks, T)
         Bm, Nm, T_, H, W = masks.shape
         m = masks.reshape(Bm, Nm * T_, H, W).transpose(0, 2, 3, 1)
         pts = point_sample(m.astype(jnp.float32), coords)  # (B, P, Nm*T)
-        return pts.transpose(0, 2, 1).reshape(Bm, Nm, T_ * num_points)
+        return pts.reshape(Bm, num_points, Nm, T_)
 
-    pred_pts = frame_points(pred_masks)
-    tgt_pts = frame_points(tgt_masks)
+    # point-major costs: the einsums contract (point, frame) directly so
+    # the (B, P, Nm*T) -> (B, Nm, T*P) relayout copies of the row-major
+    # formulation never materialize (same dots as the reference's
+    # flattened-clip batch_sigmoid_ce/dice costs, matcher.py:104-156)
+    pred_pts = frame_points(pred_masks)  # (B, P, Q, T)
+    tgt_pts = frame_points(tgt_masks)  # (B, P, G, T)
+    n_tot = num_points * T
 
-    c_mask = jax.vmap(batch_sigmoid_ce_cost)(pred_pts, tgt_pts)
-    c_dice = jax.vmap(batch_dice_cost)(pred_pts, tgt_pts)
+    pos = jax.nn.softplus(-pred_pts)
+    neg = jax.nn.softplus(pred_pts)
+    c_mask = (
+        jnp.einsum("bpqt,bpgt->bqg", pos, tgt_pts)
+        + jnp.einsum("bpqt,bpgt->bqg", neg, 1.0 - tgt_pts)
+    ) / n_tot
+    p = jax.nn.sigmoid(pred_pts)
+    num = 2.0 * jnp.einsum("bpqt,bpgt->bqg", p, tgt_pts)
+    den = p.sum((1, 3))[:, :, None] + tgt_pts.sum((1, 3))[:, None, :]
+    c_dice = 1.0 - (num + 1.0) / (den + 1.0)
+
     C = cost_class * c_class + cost_mask * c_mask + cost_dice * c_dice
     return jnp.where(tgt_valid[:, None, :], C, PAD_COST)
 

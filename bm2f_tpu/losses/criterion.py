@@ -68,13 +68,23 @@ def _loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment, num_masks,
     - each tensor is sampled through `point_sample_packed`, whose
       corner-packed row table turns the 4 bilinear-corner gathers into ONE
       (4x fewer descriptors, bitwise-identical values and grads);
-    - candidate + random points go through one gather (concatenated coords);
-    - the importance pick gathers pred and tgt in one take_along_axis on
-      2-wide rows (was two separate element gathers).
+    - the importance-selected values are RE-EVALUATED at the selected
+      coordinates from the same corner tables instead of value-picked from
+      the candidate evaluation. Bilinear evaluation at a point is a fixed
+      arithmetic sequence, so the forward values are bitwise identical —
+      but the gradient path changes from "narrow scatter into the
+      (B, n_cand, G) candidate array, then scatter into the table" (the
+      first scatter, 150k 2-wide updates, measured 6.1 ms/layer at 1024^2
+      B=2 — the round-4 trace's single largest non-kernel op) to ONE
+      wide-row scatter into the table. The candidate evaluation feeds only
+      top_k, so its table is stop-gradded and AD prunes its backward
+      scatter entirely.
     The per-mask TOP-K uncertainty selection is unchanged. `tgt_table` is an
     optional prebuilt `build_corner_table` of the float32 NHWC targets —
     the caller reuses one table across all decoder layers."""
-    from bm2f_tpu.ops.sampling import point_sample_packed
+    from bm2f_tpu.ops.sampling import (
+        build_corner_table, point_sample_packed, take_rows_unique,
+    )
 
     B, Q, h, w = pred_masks.shape
     G = tgt_valid.shape[1]
@@ -90,32 +100,44 @@ def _loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment, num_masks,
     n_cand = int(cfg.num_points * cfg.oversample_ratio)
     r1, r2 = jax.random.split(rng)
 
-    # shared candidate + random points per image, one packed gather each
+    src_nhwc = src.transpose(0, 2, 3, 1)
+    pred_table = build_corner_table(src_nhwc)
+    tgt_nhwc = tgt.transpose(0, 2, 3, 1)
+
+    # shared candidate points per image; the evaluation feeds ONLY the
+    # uncertainty top_k, so the stop-gradded table kills its backward
     cand = jax.random.uniform(r1, (B, n_cand, 2), jnp.float32)
-    pts = cand
-    if n_rand > 0:
-        randc = jax.random.uniform(r2, (B, n_rand, 2), jnp.float32)
-        pts = jnp.concatenate([cand, randc], axis=1)
-    pred_a = point_sample_packed(src.transpose(0, 2, 3, 1), pts)
-    tgt_a = point_sample_packed(
-        tgt.transpose(0, 2, 3, 1), pts, table=tgt_table
-    )  # (B, n_cand [+ n_rand], G)
-    pred_c, tgt_c = pred_a[:, :n_cand], tgt_a[:, :n_cand]
+    pred_c = point_sample_packed(
+        src_nhwc, cand, table=jax.lax.stop_gradient(pred_table)
+    )  # (B, n_cand, G)
 
     # per-mask importance selection (most uncertain = smallest |logit|)
     unc = -jnp.abs(jax.lax.stop_gradient(pred_c)).transpose(0, 2, 1)  # (B,G,n_cand)
     _, sel = jax.lax.top_k(unc.reshape(B * G, n_cand), n_imp)
     sel = jax.lax.stop_gradient(sel)
 
-    # pick pred+tgt together: one gather of 2-wide rows
-    both = jnp.stack([pred_c, tgt_c], axis=-1)  # (B, n_cand, G, 2)
-    both = both.transpose(0, 2, 1, 3).reshape(B * G, n_cand, 2)
-    picked = jnp.take_along_axis(both, sel[..., None], axis=1)
-    pred_imp, tgt_imp = picked[..., 0], picked[..., 1]
+    # coordinate pick (top_k indices: unique, in-range; coords carry no
+    # gradient), then ONE packed evaluation at selected + random points
+    cand_g = jnp.broadcast_to(cand[:, None], (B, G, n_cand, 2))
+    pts_sel = take_rows_unique(cand_g.reshape(B * G, n_cand, 2), sel)
+    pts_eval = pts_sel.reshape(B, G * n_imp, 2)
+    if n_rand > 0:
+        randc = jax.random.uniform(r2, (B, n_rand, 2), jnp.float32)
+        pts_eval = jnp.concatenate([pts_eval, randc], axis=1)
+    pred_e = point_sample_packed(src_nhwc, pts_eval, table=pred_table)
+    tgt_e = point_sample_packed(tgt_nhwc, pts_eval, table=tgt_table)
+
+    # mask g's value at its own points: exact 0/1 multiply-reduce (the
+    # backward is a dense broadcast — no scatter)
+    eye = jnp.eye(G, dtype=pred_e.dtype)
+    pred_sel = pred_e[:, : G * n_imp].reshape(B, G, n_imp, G)
+    tgt_sel = tgt_e[:, : G * n_imp].reshape(B, G, n_imp, G)
+    pred_imp = jnp.einsum("bgph,gh->bgp", pred_sel, eye).reshape(B * G, n_imp)
+    tgt_imp = jnp.einsum("bgph,gh->bgp", tgt_sel, eye).reshape(B * G, n_imp)
 
     if n_rand > 0:
-        pred_r = pred_a[:, n_cand:].transpose(0, 2, 1).reshape(B * G, n_rand)
-        tgt_r = tgt_a[:, n_cand:].transpose(0, 2, 1).reshape(B * G, n_rand)
+        pred_r = pred_e[:, G * n_imp:].transpose(0, 2, 1).reshape(B * G, n_rand)
+        tgt_r = tgt_e[:, G * n_imp:].transpose(0, 2, 1).reshape(B * G, n_rand)
         point_logits = jnp.concatenate([pred_imp, pred_r], axis=1)
         point_labels = jnp.concatenate([tgt_imp, tgt_r], axis=1)
     else:
@@ -174,11 +196,16 @@ def set_criterion(
     rngs = jax.random.split(rng, 2 * L1 + 1)
 
     # one corner-packed gather table over the (constant) targets, shared by
-    # every layer's matcher costs and mask losses
+    # every layer's matcher costs and mask losses. Ground-truth masks are
+    # binary {0,1} (reference semantics: gt bitmasks, criterion.py:870), so
+    # an int8 table is value-exact and the HBM row fetches — the dominant
+    # criterion cost once the table is full-resolution — are 4x smaller
+    # (point_sample_packed casts rows back to f32 before the weight math;
+    # bitwise-identical results)
     from bm2f_tpu.ops.sampling import build_corner_table
 
     tgt_nhwc = tgt_masks.astype(jnp.float32).transpose(0, 2, 3, 1)
-    tgt_table = build_corner_table(tgt_nhwc)
+    tgt_table = build_corner_table(tgt_nhwc.astype(jnp.int8))
 
     costs = []
     for i in range(L1):

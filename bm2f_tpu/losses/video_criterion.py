@@ -73,12 +73,15 @@ def _video_loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment,
     """pred (B,Q,T,h,w), tgt (B,G,T,Hg,Wg): per-frame point-sampled losses
     summed over (instance, frame), / num_masks (instances). Candidate/random
     points are shared per (image, frame) — wide G-channel gathers through
-    the corner-packed one-gather-per-point sampler, with the pred+tgt
-    importance pick fused into one 2-wide take_along_axis (see
-    criterion._loss_masks for the rationale and descriptor math).
+    the corner-packed one-gather-per-point sampler; the importance-selected
+    values are re-evaluated at the selected coordinates (bitwise-equal
+    forward, scatter-free pick backward — see criterion._loss_masks for the
+    rationale and descriptor math).
     `tgt_table` optionally carries the prebuilt corner table of the
     (BT, Hg, Wg, G) float32 targets, shared across decoder layers."""
-    from bm2f_tpu.ops.sampling import point_sample_packed
+    from bm2f_tpu.ops.sampling import (
+        build_corner_table, point_sample_packed, take_rows_unique,
+    )
 
     B, Q, T, h, w = pred_masks.shape
     G = tgt_valid.shape[1]
@@ -100,27 +103,37 @@ def _video_loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment,
         BT, *tgt_masks.shape[3:], G
     )
 
+    pred_table = build_corner_table(src_bt)
     cand = jax.random.uniform(r1, (BT, n_cand, 2), jnp.float32)
-    pts = cand
-    if n_rand > 0:
-        randc = jax.random.uniform(r2, (BT, n_rand, 2), jnp.float32)
-        pts = jnp.concatenate([cand, randc], axis=1)
-    pred_a = point_sample_packed(src_bt, pts)  # (BT, n_cand [+n_rand], G)
-    tgt_a = point_sample_packed(tgt_bt, pts, table=tgt_table)
-    pred_c, tgt_c = pred_a[:, :n_cand], tgt_a[:, :n_cand]
+    # uncertainty eval only feeds top_k: stop-gradded table prunes its bwd
+    pred_c = point_sample_packed(
+        src_bt, cand, table=jax.lax.stop_gradient(pred_table)
+    )  # (BT, n_cand, G)
 
     unc = -jnp.abs(jax.lax.stop_gradient(pred_c)).transpose(0, 2, 1)
     _, sel = jax.lax.top_k(unc.reshape(BT * G, n_cand), n_imp)
     sel = jax.lax.stop_gradient(sel)
 
-    both = jnp.stack([pred_c, tgt_c], axis=-1)  # (BT, n_cand, G, 2)
-    both = both.transpose(0, 2, 1, 3).reshape(BT * G, n_cand, 2)
-    picked = jnp.take_along_axis(both, sel[..., None], axis=1)
-    pred_imp, tgt_imp = picked[..., 0], picked[..., 1]
+    # coordinate pick (unique, in-range, no grad), then one packed eval at
+    # selected + random points; diag-extract each mask's own values
+    cand_g = jnp.broadcast_to(cand[:, None], (BT, G, n_cand, 2))
+    pts_sel = take_rows_unique(cand_g.reshape(BT * G, n_cand, 2), sel)
+    pts_eval = pts_sel.reshape(BT, G * n_imp, 2)
+    if n_rand > 0:
+        randc = jax.random.uniform(r2, (BT, n_rand, 2), jnp.float32)
+        pts_eval = jnp.concatenate([pts_eval, randc], axis=1)
+    pred_e = point_sample_packed(src_bt, pts_eval, table=pred_table)
+    tgt_e = point_sample_packed(tgt_bt, pts_eval, table=tgt_table)
+
+    eye = jnp.eye(G, dtype=pred_e.dtype)
+    pred_sel = pred_e[:, : G * n_imp].reshape(BT, G, n_imp, G)
+    tgt_sel = tgt_e[:, : G * n_imp].reshape(BT, G, n_imp, G)
+    pred_imp = jnp.einsum("bgph,gh->bgp", pred_sel, eye).reshape(BT * G, n_imp)
+    tgt_imp = jnp.einsum("bgph,gh->bgp", tgt_sel, eye).reshape(BT * G, n_imp)
 
     if n_rand > 0:
-        pred_r = pred_a[:, n_cand:].transpose(0, 2, 1).reshape(BT * G, n_rand)
-        tgt_r = tgt_a[:, n_cand:].transpose(0, 2, 1).reshape(BT * G, n_rand)
+        pred_r = pred_e[:, G * n_imp:].transpose(0, 2, 1).reshape(BT * G, n_rand)
+        tgt_r = tgt_e[:, G * n_imp:].transpose(0, 2, 1).reshape(BT * G, n_rand)
         point_logits = jnp.concatenate([pred_imp, pred_r], axis=1)
         point_labels = jnp.concatenate([tgt_imp, tgt_r], axis=1)
     else:
@@ -185,7 +198,8 @@ def video_set_criterion(
 
     num_masks = jnp.maximum(jnp.sum(tgt_valid.astype(jnp.float32)), 1.0)
 
-    # shared corner table over the constant per-frame targets (see
+    # shared corner table over the constant per-frame targets; int8 storage
+    # is exact for binary gt masks and quarters the HBM row-fetch cost (see
     # criterion.set_criterion)
     from bm2f_tpu.ops.sampling import build_corner_table
 
@@ -195,7 +209,7 @@ def video_set_criterion(
         .transpose(0, 2, 3, 4, 1)
         .reshape(B_ * T_, tgt_masks.shape[3], tgt_masks.shape[4], G_)
     )
-    tgt_table = build_corner_table(tgt_bt)
+    tgt_table = build_corner_table(tgt_bt.astype(jnp.int8))
 
     losses: Dict[str, jnp.ndarray] = {}
     total = 0.0

@@ -238,3 +238,74 @@ def test_jv_assign_exact_vs_scipy(rng):
             got = C[b, out[b], np.arange(G)].sum()
             opt = C[b, ex[b], np.arange(G)].sum()
             np.testing.assert_allclose(got, opt, rtol=1e-6, atol=1e-4)
+
+
+def test_loss_masks_importance_reeval_matches_value_pick(rng):
+    """The round-4 pick restructure (re-evaluate pred/tgt at the selected
+    candidate coordinates instead of value-picking from the candidate
+    evaluation) must be value-identical: bilinear evaluation at a point is
+    the same arithmetic either way. Rebuilds the value-pick formulation
+    inline and checks the mask/dice losses match bitwise and grads agree."""
+    from bm2f_tpu.losses.criterion import SetCriterionConfig, _loss_masks
+    from bm2f_tpu.ops.sampling import point_sample_packed
+
+    B, Q, h, w, G = 2, 6, 16, 16, 3
+    Hg = Wg = 32
+    cfg = SetCriterionConfig(num_classes=5, num_points=64,
+                             oversample_ratio=3.0,
+                             importance_sample_ratio=0.75)
+    pred = jnp.asarray(rng.randn(B, Q, h, w).astype(np.float32))
+    tgtm = jnp.asarray((rng.rand(B, G, Hg, Wg) > 0.6).astype(np.float32))
+    valid = jnp.asarray(np.ones((B, G), bool))
+    assign = jnp.asarray(rng.permutation(Q)[:G][None].repeat(B, 0).astype(np.int32))
+    key = jax.random.PRNGKey(3)
+    num_masks = jnp.float32(B * G)
+
+    def new_losses(p):
+        lm, ld = _loss_masks(key, p, tgtm, valid, assign, num_masks, cfg)
+        return lm[0], ld[0]
+
+    def old_losses(p):
+        # the pre-restructure formulation: one cand+rand evaluation, then a
+        # per-mask value pick by take_along_axis
+        src = jnp.take_along_axis(p, assign[:, :, None, None], axis=1)
+        src = src.astype(jnp.float32)
+        tgt = tgtm.astype(jnp.float32)
+        n_imp = int(cfg.importance_sample_ratio * cfg.num_points)
+        n_rand = cfg.num_points - n_imp
+        n_cand = int(cfg.num_points * cfg.oversample_ratio)
+        r1, r2 = jax.random.split(key)
+        cand = jax.random.uniform(r1, (B, n_cand, 2), jnp.float32)
+        pts = jnp.concatenate(
+            [cand, jax.random.uniform(r2, (B, n_rand, 2), jnp.float32)], 1)
+        pred_a = point_sample_packed(src.transpose(0, 2, 3, 1), pts)
+        tgt_a = point_sample_packed(tgt.transpose(0, 2, 3, 1), pts)
+        pred_c, tgt_c = pred_a[:, :n_cand], tgt_a[:, :n_cand]
+        unc = -jnp.abs(jax.lax.stop_gradient(pred_c)).transpose(0, 2, 1)
+        _, sel = jax.lax.top_k(unc.reshape(B * G, n_cand), n_imp)
+        both = jnp.stack([pred_c, tgt_c], -1).transpose(0, 2, 1, 3)
+        picked = jnp.take_along_axis(
+            both.reshape(B * G, n_cand, 2), sel[..., None], axis=1)
+        pred_imp, tgt_imp = picked[..., 0], picked[..., 1]
+        pred_r = pred_a[:, n_cand:].transpose(0, 2, 1).reshape(B * G, n_rand)
+        tgt_r = tgt_a[:, n_cand:].transpose(0, 2, 1).reshape(B * G, n_rand)
+        logits = jnp.concatenate([pred_imp, pred_r], 1)
+        labels = jax.lax.stop_gradient(jnp.concatenate([tgt_imp, tgt_r], 1))
+        ce = (jnp.maximum(logits, 0) - logits * labels
+              + jax.nn.softplus(-jnp.abs(logits)))
+        vmask = valid.reshape(B * G).astype(jnp.float32)
+        pm = jax.nn.sigmoid(logits)
+        dice = (1.0 - (2 * jnp.sum(pm * labels, -1) + 1.0)
+                / (jnp.sum(pm, -1) + jnp.sum(labels, -1) + 1.0)) * vmask
+        return (jnp.sum(ce.mean(-1) * vmask) / num_masks,
+                jnp.sum(dice) / num_masks)
+
+    lm_o, ld_o = old_losses(pred)
+    np.testing.assert_array_equal(np.asarray(new_losses(pred)[0]),
+                                  np.asarray(lm_o))
+    np.testing.assert_array_equal(np.asarray(new_losses(pred)[1]),
+                                  np.asarray(ld_o))
+    g_new = jax.grad(lambda p: sum(new_losses(p)))(pred)
+    g_old = jax.grad(lambda p: sum(old_losses(p)))(pred)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old),
+                               rtol=1e-5, atol=1e-6)

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import argparse
 import sys
+
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))  # runnable without install
 from collections import defaultdict
 
 

@@ -11,6 +11,8 @@ Usage: python tools/evaluate_coco_boundary_ap.py --gt-json instances_val.json \
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without install
 import argparse
 import json
 from collections import defaultdict

@@ -6,6 +6,8 @@ class region... the reference treats each CLASS MAP as one segment per class
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without install
 import argparse
 import glob
 import os

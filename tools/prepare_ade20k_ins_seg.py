@@ -10,6 +10,8 @@ Usage: python tools/prepare_ade20k_ins_seg.py [--dataset-root .../ADEChallengeDa
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without install
 import argparse
 import glob
 import json

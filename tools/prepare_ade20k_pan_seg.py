@@ -8,6 +8,8 @@ classes one segment each; writes panopticapi-format id pngs + json.
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without install
 import argparse
 import glob
 import json

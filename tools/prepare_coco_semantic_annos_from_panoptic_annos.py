@@ -6,6 +6,8 @@ layout: panoptic_semseg_{split}2017/ with contiguous ids, 255 = void)."""
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without install
 import argparse
 import json
 import multiprocessing as mp

@@ -37,6 +37,7 @@ def main():
     import jax.numpy as jnp
 
     from bm2f_tpu.losses.criterion import SetCriterionConfig, set_criterion
+    from bm2f_tpu.matching.hungarian import make_jv_assign_fn
 
     print("devices:", jax.devices(), flush=True)
 
@@ -56,8 +57,12 @@ def main():
     }
     cfg = SetCriterionConfig(num_classes=K)
 
+    # on-device exact JV matching (bench.py's train config): the default
+    # host-callback LSA is unsupported by the axon runtime
+    assign_fn = make_jv_assign_fn()
+
     def loss_fn(outs, tgts, key):
-        total, _ = set_criterion(outs, tgts, cfg, key)
+        total, _ = set_criterion(outs, tgts, cfg, key, assign_fn=assign_fn)
         return total
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))

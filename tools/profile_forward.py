@@ -10,6 +10,8 @@ dependency get pipelined/deduped):
   - transformer decoder only
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without install
 import os
 import time
 

@@ -3,6 +3,8 @@
 core-only (pre-built patches/idx/w4) vs full op (prep included), q_tile
 sweep, and the module-level prep cost (projections + transposes)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without install
 import os
 import time
 

@@ -42,6 +42,7 @@ QP = 13312  # 13125 queries padded to 26 x 512
 QT = 512
 K = 4  # points per level
 D4 = 128  # table row lanes (2x2 corners x D=32)
+UNROLL_Q = 1  # queries handled per fori_loop body (scalar kernel only)
 
 
 def _kernels():
@@ -56,15 +57,19 @@ def _kernels():
     )
 
     def scalar_kernel(idx_ref, table_ref, out_ref, scratch_ref):
-        def body(qi, _):
-            for k in range(K):
-                a = idx_ref[0, k, qi]
-                scratch_ref[pl.ds(k * QT + qi, 1), :] = table_ref[
-                    0, pl.ds(a, 1), :
-                ]
+        # UNROLL_Q queries per fori_loop body: tests whether the loop is
+        # bound by per-BODY overhead (branch/bookkeeping) or per-COPY issue
+        def body(bi, _):
+            for u in range(UNROLL_Q):
+                qi = bi * UNROLL_Q + u
+                for k in range(K):
+                    a = idx_ref[0, k, qi]
+                    scratch_ref[pl.ds(k * QT + qi, 1), :] = table_ref[
+                        0, pl.ds(a, 1), :
+                    ]
             return 0
 
-        jax.lax.fori_loop(0, QT, body, 0)
+        jax.lax.fori_loop(0, QT // UNROLL_Q, body, 0)
         acc = scratch_ref[0:QT]
         for k in range(1, K):
             acc = acc + scratch_ref[k * QT : (k + 1) * QT]
@@ -78,6 +83,23 @@ def _kernels():
         for k in range(K):
             idx_k = idxv_ref[0, k, :]  # (QT,) i32 VMEM
             sel = (iota == idx_k[:, None]).astype(jnp.float32)  # (QT, S)
+            t = jax.lax.dot_general(
+                sel, table_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = t if acc is None else acc + t
+        out_ref[0] = acc
+
+    # bf16 one-hot: the MXU's 197 TF peak is bf16-only (f32 is ~1/4), so
+    # give the escape its best shot — 0/1 selector is exact in bf16, the
+    # production table is cast-last bf16 anyway, and f32 accumulation of
+    # bf16 products keeps the result bitwise-equal to the f32 gather
+    def onehot_kernel_bf16(idxv_ref, table_ref, out_ref, *, S):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (QT, S), 1)
+        acc = None
+        for k in range(K):
+            idx_k = idxv_ref[0, k, :]
+            sel = (iota == idx_k[:, None]).astype(jnp.bfloat16)
             t = jax.lax.dot_general(
                 sel, table_ref[0], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -129,9 +151,9 @@ def _kernels():
         f = _make_scalar_any(S, jnp.bfloat16, scalar_kernel_bf16)
         return lambda i, t: f(i, t.astype(jnp.bfloat16))
 
-    def make_onehot(S):
-        return pl.pallas_call(
-            functools.partial(onehot_kernel_v, S=S),
+    def _make_onehot_any(S, kernel, table_dtype):
+        f = pl.pallas_call(
+            functools.partial(kernel, S=S),
             grid=(BM, QP // QT),
             in_specs=[
                 pl.BlockSpec((1, K, QT), lambda b, i: (b, 0, i),
@@ -146,27 +168,49 @@ def _kernels():
                 vmem_limit_bytes=VMEM_LIMIT),
             interpret=interpret,
         )
+        return lambda i, t: f(i, t.astype(table_dtype))
 
-    return make_scalar, make_onehot, make_scalar_bf16
+    def make_onehot(S):
+        return _make_onehot_any(S, onehot_kernel_v, jnp.float32)
+
+    def make_onehot_bf16(S):
+        return _make_onehot_any(S, onehot_kernel_bf16, jnp.bfloat16)
+
+    return make_scalar, make_onehot, make_scalar_bf16, make_onehot_bf16
 
 
-def bench_level(S: int, iters: int):
+def bench_level(S: int, iters: int, coherent: bool = False):
     import jax
     import jax.numpy as jnp
 
-    make_scalar, make_onehot, make_scalar_bf16 = _kernels()
+    make_scalar, make_onehot, make_scalar_bf16, make_onehot_bf16 = _kernels()
     rng = np.random.RandomState(0)
     # bf16-representable values so the bf16-table variant is exactly
     # comparable to the f32 oracle (production prep is cast-last bf16 anyway)
     table = jnp.asarray(
         rng.randn(BM, S, D4).astype(np.float32)
     ).astype(jnp.bfloat16).astype(jnp.float32)
-    idx = jnp.asarray(rng.randint(0, S, (BM, K, QP)).astype(np.int32))
+    if coherent:
+        # production-like addresses: deformable queries sample NEAR their
+        # own spatial location (ring init, small learned offsets), so
+        # consecutive queries touch nearby table rows. Model: query qi's
+        # row = its proportional position in the level + small jitter.
+        base = np.linspace(0, S - 1, QP)[None, None, :]
+        jit_ = rng.randn(BM, K, QP) * max(2.0, S * 0.01)
+        idx_np = np.clip(np.round(base + jit_), 0, S - 1).astype(np.int32)
+        idx = jnp.asarray(idx_np)
+    else:
+        idx = jnp.asarray(rng.randint(0, S, (BM, K, QP)).astype(np.int32))
 
     n_desc = BM * QP * K
     results = {}
-    for name, make in (("scalar", make_scalar), ("onehot", make_onehot),
-                       ("scalar_bf16", make_scalar_bf16)):
+    impls = [("scalar", make_scalar), ("onehot", make_onehot),
+             ("onehot_bf16", make_onehot_bf16),
+             ("scalar_bf16", make_scalar_bf16)]
+    only = os.environ.get("ROOFLINE_IMPLS")
+    if only:
+        impls = [p for p in impls if p[0] in only.split(",")]
+    for name, make in impls:
         try:
             fn = jax.jit(lambda t, i, f=make(S): f(i, t))
             # correctness cross-check (gather sum over K); compile happens
@@ -198,7 +242,9 @@ def bench_level(S: int, iters: int):
         print(json.dumps({
             "impl": name, "S": S, "ms_per_level_layer": round(dt * 1e3, 3),
             "ns_per_descriptor": round(dt / n_desc * 1e9, 3),
-            "max_err_vs_xla": ref,
+            "max_err_vs_xla": ref, "addresses": ("coherent" if coherent
+                                                 else "random"),
+            "qt": QT, "k": K, "unroll_q": UNROLL_Q,
         }), flush=True)
     return results
 
@@ -209,19 +255,37 @@ def main():
     ap.add_argument("--levels", type=int, nargs="+", default=[625, 2500])
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes, CPU interpret mode (correctness only)")
+    ap.add_argument("--coherent", action="store_true",
+                    help="production-like spatially-coherent addresses "
+                         "instead of uniform-random ones")
+    ap.add_argument("--qt", type=int, default=None, help="query tile size")
+    ap.add_argument("--kk", type=int, default=None, help="points per query")
+    ap.add_argument("--unroll", type=int, default=None,
+                    help="queries per scalar-loop body")
     args = ap.parse_args()
+
+    global BM, QP, QT, K, UNROLL_Q
+    if args.qt:
+        QT = args.qt
+        assert QP % QT == 0
+    if args.kk:
+        K = args.kk
+    if args.unroll:
+        UNROLL_Q = args.unroll
+        assert QT % UNROLL_Q == 0
 
     import jax
 
     if args.smoke:
-        global BM, QP, QT
-        BM, QP, QT = 2, 16, 8
+        # tile-able smoke shapes: block dims must be divisible by (8, 128)
+        # or equal the full array dims
+        BM, QP, QT = 2, 128, 128
         for S in (40,):
             bench_level(S, iters=1)
         return
     assert jax.default_backend() == "tpu", "run on the real chip"
     for S in args.levels:
-        bench_level(S, args.iters)
+        bench_level(S, args.iters, coherent=args.coherent)
 
 
 if __name__ == "__main__":

@@ -22,6 +22,8 @@ numbers (BASELINE.md rows; full-dataset single-scale protocol — pass
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without install
 import argparse
 import os
 import sys

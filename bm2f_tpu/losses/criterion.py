@@ -68,23 +68,28 @@ def _loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment, num_masks,
     - each tensor is sampled through `point_sample_packed`, whose
       corner-packed row table turns the 4 bilinear-corner gathers into ONE
       (4x fewer descriptors, bitwise-identical values and grads);
-    - the importance-selected values are RE-EVALUATED at the selected
-      coordinates from the same corner tables instead of value-picked from
-      the candidate evaluation. Bilinear evaluation at a point is a fixed
-      arithmetic sequence, so the forward values are bitwise identical —
-      but the gradient path changes from "narrow scatter into the
-      (B, n_cand, G) candidate array, then scatter into the table" (the
-      first scatter, 150k 2-wide updates, measured 6.1 ms/layer at 1024^2
-      B=2 — the round-4 trace's single largest non-kernel op) to ONE
-      wide-row scatter into the table. The candidate evaluation feeds only
-      top_k, so its table is stop-gradded and AD prunes its backward
-      scatter entirely.
+    - the importance-selected contribution is computed as a WEIGHTED
+      reduction over the candidate evaluation: a stop-gradded 0/1 weight
+      marks each mask's top-k most-uncertain candidates, and the CE/dice
+      point sums become masked sums over the (B, n_cand, G) candidate
+      values already in hand. The selected SET is exactly `top_k`'s
+      (threshold + lower-index tie-break below reproduces its documented
+      tie order), so the loss equals the gather-the-selected-points
+      formulation up to float summation order (allclose-tested against the
+      explicit value-pick in tests/test_matching.py). This removes, per
+      layer: the (B, G*n_imp) selected-coordinate gather, the pred/tgt
+      re-evaluation gathers at those points, AND every pick/scatter in the
+      backward — the candidate gather (whose backward is one wide-row
+      scatter) is the only gradient-carrying gather left. Measured: the
+      round-4 re-eval formulation spent 49 ms/step in criterion gathers at
+      1024^2 B=2 G=8; this one ~23 ms (fewer descriptors at the same
+      ~10 ns/row — XLA's gather cost is per ROW, not per byte: a
+      per-channel 4-lane-row variant with identical descriptor count
+      measured 60 ms SLOWER end-to-end).
     The per-mask TOP-K uncertainty selection is unchanged. `tgt_table` is an
-    optional prebuilt `build_corner_table` of the float32 NHWC targets —
+    optional prebuilt `build_corner_table` of the NHWC targets —
     the caller reuses one table across all decoder layers."""
-    from bm2f_tpu.ops.sampling import (
-        build_corner_table, point_sample_packed, take_rows_unique,
-    )
+    from bm2f_tpu.ops.sampling import build_corner_table, point_sample_packed
 
     B, Q, h, w = pred_masks.shape
     G = tgt_valid.shape[1]
@@ -104,56 +109,58 @@ def _loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment, num_masks,
     pred_table = build_corner_table(src_nhwc)
     tgt_nhwc = tgt.transpose(0, 2, 3, 1)
 
-    # shared candidate points per image; the evaluation feeds ONLY the
-    # uncertainty top_k, so the stop-gradded table kills its backward
+    # shared candidate points per image: ONE gradient-carrying gather per
+    # tensor; the same values serve the uncertainty top-k AND the loss
     cand = jax.random.uniform(r1, (B, n_cand, 2), jnp.float32)
-    pred_c = point_sample_packed(
-        src_nhwc, cand, table=jax.lax.stop_gradient(pred_table)
-    )  # (B, n_cand, G)
+    pred_c = point_sample_packed(src_nhwc, cand, table=pred_table)
+    tgt_c = jax.lax.stop_gradient(
+        point_sample_packed(tgt_nhwc, cand, table=tgt_table)
+    )  # (B, n_cand, G) each
 
-    # per-mask importance selection (most uncertain = smallest |logit|)
+    # per-mask importance selection (most uncertain = smallest |logit|) as a
+    # 0/1 candidate weight: strictly-above-threshold plus the first
+    # (n_imp - count_above) threshold ties in index order — exactly
+    # jax.lax.top_k's selection (equal values: lower index wins)
     unc = -jnp.abs(jax.lax.stop_gradient(pred_c)).transpose(0, 2, 1)  # (B,G,n_cand)
-    _, sel = jax.lax.top_k(unc.reshape(B * G, n_cand), n_imp)
-    sel = jax.lax.stop_gradient(sel)
+    u = unc.reshape(B * G, n_cand)
+    kth = jax.lax.top_k(u, n_imp)[0][:, -1:]  # (B*G, 1)
+    above = u > kth
+    eq = u == kth
+    need = n_imp - jnp.sum(above.astype(jnp.int32), -1, keepdims=True)
+    tie_rank = jnp.cumsum(eq.astype(jnp.int32), axis=-1)  # inclusive
+    w_sel = (above | (eq & (tie_rank <= need))).astype(jnp.float32)
+    w_sel = w_sel.reshape(B, G, n_cand).transpose(0, 2, 1)  # (B, n_cand, G)
 
-    # coordinate pick (top_k indices: unique, in-range; coords carry no
-    # gradient), then ONE packed evaluation at selected + random points
-    cand_g = jnp.broadcast_to(cand[:, None], (B, G, n_cand, 2))
-    pts_sel = take_rows_unique(cand_g.reshape(B * G, n_cand, 2), sel)
-    pts_eval = pts_sel.reshape(B, G * n_imp, 2)
+    def masked_sums(logits, labels, w):
+        """Σ over (weighted) points of CE, p, p·t, t — one fused pass."""
+        ce = (
+            jnp.maximum(logits, 0)
+            - logits * labels
+            + jax.nn.softplus(-jnp.abs(logits))
+        )
+        p = jax.nn.sigmoid(logits)
+        return (
+            jnp.sum(ce * w, 1),
+            jnp.sum(p * w, 1),
+            jnp.sum(p * labels * w, 1),
+            jnp.sum(labels * w, 1),
+        )  # (B, G) each
+
+    ce_s, p_s, pt_s, t_s = masked_sums(pred_c, tgt_c, w_sel)
     if n_rand > 0:
         randc = jax.random.uniform(r2, (B, n_rand, 2), jnp.float32)
-        pts_eval = jnp.concatenate([pts_eval, randc], axis=1)
-    pred_e = point_sample_packed(src_nhwc, pts_eval, table=pred_table)
-    tgt_e = point_sample_packed(tgt_nhwc, pts_eval, table=tgt_table)
-
-    # mask g's value at its own points: exact 0/1 multiply-reduce (the
-    # backward is a dense broadcast — no scatter)
-    eye = jnp.eye(G, dtype=pred_e.dtype)
-    pred_sel = pred_e[:, : G * n_imp].reshape(B, G, n_imp, G)
-    tgt_sel = tgt_e[:, : G * n_imp].reshape(B, G, n_imp, G)
-    pred_imp = jnp.einsum("bgph,gh->bgp", pred_sel, eye).reshape(B * G, n_imp)
-    tgt_imp = jnp.einsum("bgph,gh->bgp", tgt_sel, eye).reshape(B * G, n_imp)
-
-    if n_rand > 0:
-        pred_r = pred_e[:, G * n_imp:].transpose(0, 2, 1).reshape(B * G, n_rand)
-        tgt_r = tgt_e[:, G * n_imp:].transpose(0, 2, 1).reshape(B * G, n_rand)
-        point_logits = jnp.concatenate([pred_imp, pred_r], axis=1)
-        point_labels = jnp.concatenate([tgt_imp, tgt_r], axis=1)
-    else:
-        point_logits, point_labels = pred_imp, tgt_imp
-    point_labels = jax.lax.stop_gradient(point_labels)
+        pred_r = point_sample_packed(src_nhwc, randc, table=pred_table)
+        tgt_r = jax.lax.stop_gradient(
+            point_sample_packed(tgt_nhwc, randc, table=tgt_table)
+        )
+        ce_r, p_r, pt_r, t_r = masked_sums(pred_r, tgt_r, 1.0)
+        ce_s, p_s, pt_s, t_s = ce_s + ce_r, p_s + p_r, pt_s + pt_r, t_s + t_r
 
     # sigmoid CE, mean over points, sum over valid masks / num_masks
-    ce = jnp.maximum(point_logits, 0) - point_logits * point_labels + jax.nn.softplus(
-        -jnp.abs(point_logits)
-    )
-    ce_per_mask = ce.mean(-1) * valid
-
-    p = jax.nn.sigmoid(point_logits)
-    numerator = 2.0 * jnp.sum(p * point_labels, -1)
-    denominator = jnp.sum(p, -1) + jnp.sum(point_labels, -1)
-    dice_per_mask = (1.0 - (numerator + 1.0) / (denominator + 1.0)) * valid
+    ce_per_mask = (ce_s / cfg.num_points).reshape(B * G) * valid
+    dice_per_mask = (
+        1.0 - (2.0 * pt_s + 1.0) / (p_s + t_s + 1.0)
+    ).reshape(B * G) * valid
 
     loss_mask = jnp.sum(ce_per_mask.reshape(per_group, -1), -1) / num_masks
     loss_dice = jnp.sum(dice_per_mask.reshape(per_group, -1), -1) / num_masks

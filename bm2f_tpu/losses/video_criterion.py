@@ -74,14 +74,12 @@ def _video_loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment,
     summed over (instance, frame), / num_masks (instances). Candidate/random
     points are shared per (image, frame) — wide G-channel gathers through
     the corner-packed one-gather-per-point sampler; the importance-selected
-    values are re-evaluated at the selected coordinates (bitwise-equal
-    forward, scatter-free pick backward — see criterion._loss_masks for the
-    rationale and descriptor math).
+    contribution is a masked sum over the candidate evaluation with a
+    stop-gradded top-k threshold/tie-break weight (exactly top_k's set — see
+    criterion._loss_masks for the rationale and measurements).
     `tgt_table` optionally carries the prebuilt corner table of the
-    (BT, Hg, Wg, G) float32 targets, shared across decoder layers."""
-    from bm2f_tpu.ops.sampling import (
-        build_corner_table, point_sample_packed, take_rows_unique,
-    )
+    (BT, Hg, Wg, G) targets, shared across decoder layers."""
+    from bm2f_tpu.ops.sampling import build_corner_table, point_sample_packed
 
     B, Q, T, h, w = pred_masks.shape
     G = tgt_valid.shape[1]
@@ -105,54 +103,53 @@ def _video_loss_masks(rng, pred_masks, tgt_masks, tgt_valid, assignment,
 
     pred_table = build_corner_table(src_bt)
     cand = jax.random.uniform(r1, (BT, n_cand, 2), jnp.float32)
-    # uncertainty eval only feeds top_k: stop-gradded table prunes its bwd
-    pred_c = point_sample_packed(
-        src_bt, cand, table=jax.lax.stop_gradient(pred_table)
-    )  # (BT, n_cand, G)
+    pred_c = point_sample_packed(src_bt, cand, table=pred_table)
+    tgt_c = jax.lax.stop_gradient(
+        point_sample_packed(tgt_bt, cand, table=tgt_table)
+    )  # (BT, n_cand, G) each
 
+    # top-k-equivalent 0/1 weight (threshold + lower-index tie-break)
     unc = -jnp.abs(jax.lax.stop_gradient(pred_c)).transpose(0, 2, 1)
-    _, sel = jax.lax.top_k(unc.reshape(BT * G, n_cand), n_imp)
-    sel = jax.lax.stop_gradient(sel)
+    u = unc.reshape(BT * G, n_cand)
+    kth = jax.lax.top_k(u, n_imp)[0][:, -1:]
+    above = u > kth
+    eq = u == kth
+    need = n_imp - jnp.sum(above.astype(jnp.int32), -1, keepdims=True)
+    tie_rank = jnp.cumsum(eq.astype(jnp.int32), axis=-1)
+    w_sel = (above | (eq & (tie_rank <= need))).astype(jnp.float32)
+    w_sel = w_sel.reshape(BT, G, n_cand).transpose(0, 2, 1)  # (BT, n_cand, G)
 
-    # coordinate pick (unique, in-range, no grad), then one packed eval at
-    # selected + random points; diag-extract each mask's own values
-    cand_g = jnp.broadcast_to(cand[:, None], (BT, G, n_cand, 2))
-    pts_sel = take_rows_unique(cand_g.reshape(BT * G, n_cand, 2), sel)
-    pts_eval = pts_sel.reshape(BT, G * n_imp, 2)
+    def masked_sums(logits, labels, wgt):
+        ce = (
+            jnp.maximum(logits, 0)
+            - logits * labels
+            + jax.nn.softplus(-jnp.abs(logits))
+        )
+        p = jax.nn.sigmoid(logits)
+        return (
+            jnp.sum(ce * wgt, 1),
+            jnp.sum(p * wgt, 1),
+            jnp.sum(p * labels * wgt, 1),
+            jnp.sum(labels * wgt, 1),
+        )  # (BT, G) each
+
+    ce_s, p_s, pt_s, t_s = masked_sums(pred_c, tgt_c, w_sel)
     if n_rand > 0:
         randc = jax.random.uniform(r2, (BT, n_rand, 2), jnp.float32)
-        pts_eval = jnp.concatenate([pts_eval, randc], axis=1)
-    pred_e = point_sample_packed(src_bt, pts_eval, table=pred_table)
-    tgt_e = point_sample_packed(tgt_bt, pts_eval, table=tgt_table)
+        pred_r = point_sample_packed(src_bt, randc, table=pred_table)
+        tgt_r = jax.lax.stop_gradient(
+            point_sample_packed(tgt_bt, randc, table=tgt_table)
+        )
+        ce_r, p_r, pt_r, t_r = masked_sums(pred_r, tgt_r, 1.0)
+        ce_s, p_s, pt_s, t_s = ce_s + ce_r, p_s + p_r, pt_s + pt_r, t_s + t_r
 
-    eye = jnp.eye(G, dtype=pred_e.dtype)
-    pred_sel = pred_e[:, : G * n_imp].reshape(BT, G, n_imp, G)
-    tgt_sel = tgt_e[:, : G * n_imp].reshape(BT, G, n_imp, G)
-    pred_imp = jnp.einsum("bgph,gh->bgp", pred_sel, eye).reshape(BT * G, n_imp)
-    tgt_imp = jnp.einsum("bgph,gh->bgp", tgt_sel, eye).reshape(BT * G, n_imp)
-
-    if n_rand > 0:
-        pred_r = pred_e[:, G * n_imp:].transpose(0, 2, 1).reshape(BT * G, n_rand)
-        tgt_r = tgt_e[:, G * n_imp:].transpose(0, 2, 1).reshape(BT * G, n_rand)
-        point_logits = jnp.concatenate([pred_imp, pred_r], axis=1)
-        point_labels = jnp.concatenate([tgt_imp, tgt_r], axis=1)
-    else:
-        point_logits, point_labels = pred_imp, tgt_imp
-    point_labels = jax.lax.stop_gradient(point_labels)
     # (BT*G) rows are ordered (b, t, g); valid is ordered (b, g, t) — reorder
     valid = tgt_valid[:, None, :].repeat(T, 1).reshape(BT * G).astype(jnp.float32)
 
-    ce = (
-        jnp.maximum(point_logits, 0)
-        - point_logits * point_labels
-        + jax.nn.softplus(-jnp.abs(point_logits))
-    )
-    loss_mask = jnp.sum(ce.mean(-1) * valid) / num_masks
-    p = jax.nn.sigmoid(point_logits)
-    dice = 1.0 - (2 * jnp.sum(p * point_labels, -1) + 1.0) / (
-        jnp.sum(p, -1) + jnp.sum(point_labels, -1) + 1.0
-    )
-    loss_dice = jnp.sum(dice * valid) / num_masks
+    ce_per = (ce_s / cfg.num_points).reshape(BT * G)
+    loss_mask = jnp.sum(ce_per * valid) / num_masks
+    dice = 1.0 - (2.0 * pt_s + 1.0) / (p_s + t_s + 1.0)
+    loss_dice = jnp.sum(dice.reshape(BT * G) * valid) / num_masks
     return loss_mask, loss_dice
 
 

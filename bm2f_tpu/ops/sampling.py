@@ -71,44 +71,6 @@ def point_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return grid_sample(img, coords * 2.0 - 1.0)
 
 
-def take_rows_unique(x: jnp.ndarray, sel: jnp.ndarray) -> jnp.ndarray:
-    """`jnp.take_along_axis(x, sel[..., None], axis=1)` for UNIQUE in-range
-    indices — same values, much cheaper gradient.
-
-    x: (R, N, C); sel: (R, P) int32, each row's entries distinct and in
-    [0, N). Returns (R, P, C).
-
-    Why not take_along_axis: its transpose is a scatter-add that must
-    assume duplicate indices, and on TPU the duplicate-merging path
-    serializes narrow-row updates. Declaring unique_indices +
-    PROMISE_IN_BOUNDS measured 3.1x faster fwd+bwd standalone on v5e
-    (29.3 -> 9.4 ms on a (16, 37632, 2)-pick microbench; values bitwise
-    equal). CAVEAT, measured in the full train program: XLA's scatter
-    expander flattens the batched scatter (602112-row operand, flat s32
-    indices) and the emitted kCustom fusion ran at the SAME 6.1 ms/layer
-    with or without the flags — which is why the criterion re-evaluates
-    selected points instead of back-propagating through a value pick
-    (losses/criterion.py), and this helper is used where the pick carries
-    no gradient.
-
-    The caller PROMISES uniqueness/in-range (e.g. top_k output); violating
-    it is undefined behavior, so only use where both hold by construction.
-    """
-    R, N, C = x.shape
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
-    )
-
-    def one(xb, ib):
-        return jax.lax.gather(
-            xb, ib[:, None], dn, slice_sizes=(1, C),
-            unique_indices=True, indices_are_sorted=False,
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        )
-
-    return jax.vmap(one)(x, sel)
-
-
 def build_corner_table(img: jnp.ndarray) -> jnp.ndarray:
     """Corner-pack an image for `point_sample_packed`.
 

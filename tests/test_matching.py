@@ -241,11 +241,12 @@ def test_jv_assign_exact_vs_scipy(rng):
 
 
 def test_loss_masks_importance_reeval_matches_value_pick(rng):
-    """The round-4 pick restructure (re-evaluate pred/tgt at the selected
-    candidate coordinates instead of value-picking from the candidate
-    evaluation) must be value-identical: bilinear evaluation at a point is
-    the same arithmetic either way. Rebuilds the value-pick formulation
-    inline and checks the mask/dice losses match bitwise and grads agree."""
+    """The round-4 weighted-candidate restructure (masked sums over the
+    candidate evaluation with a top-k threshold/tie-break weight, instead of
+    gathering the selected points) must select EXACTLY top_k's point set and
+    produce the same losses up to float summation order. Rebuilds the
+    explicit value-pick formulation inline and checks the mask/dice losses
+    and grads agree to tight tolerance."""
     from bm2f_tpu.losses.criterion import SetCriterionConfig, _loss_masks
     from bm2f_tpu.ops.sampling import point_sample_packed
 
@@ -301,10 +302,10 @@ def test_loss_masks_importance_reeval_matches_value_pick(rng):
                 jnp.sum(dice) / num_masks)
 
     lm_o, ld_o = old_losses(pred)
-    np.testing.assert_array_equal(np.asarray(new_losses(pred)[0]),
-                                  np.asarray(lm_o))
-    np.testing.assert_array_equal(np.asarray(new_losses(pred)[1]),
-                                  np.asarray(ld_o))
+    np.testing.assert_allclose(np.asarray(new_losses(pred)[0]),
+                               np.asarray(lm_o), rtol=2e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(new_losses(pred)[1]),
+                               np.asarray(ld_o), rtol=2e-6, atol=1e-7)
     g_new = jax.grad(lambda p: sum(new_losses(p)))(pred)
     g_old = jax.grad(lambda p: sum(old_losses(p)))(pred)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old),

@@ -82,7 +82,12 @@ class PixelDecoderConfig:
     # memory headroom at large resolutions
     deform_q_chunks: int = 1
     # Pallas kernel query-tile size (queries per grid step; bigger tiles
-    # amortize per-step overhead against VMEM scratch size)
+    # amortize per-step overhead against VMEM scratch size). Round-4 A/B,
+    # measured BOTH ways on chip: standalone the fwd core prefers 512
+    # (19.6 vs 22.9 ms at 800^2-B=4 shapes, grad within 1%, 1024^2 a tie),
+    # but IN-MODEL the full forward is faster at 1024 (31.8-31.9 img/s vs
+    # 31.4-31.5 at 512, two runs each) — the standalone ranking does not
+    # survive remat/VMEM pressure. Keep 1024.
     deform_q_tile: int = 1024
     # deformable-sampling implementation: "auto" picks the hand-written
     # Pallas kernel on TPU (measured ~3.4x XLA's gather emitter) and the

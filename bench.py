@@ -18,6 +18,12 @@ axon backend init hung >9 min and the driver burned its whole timeout
     own in ~3 min, so the retry ladder covers that case;
   * each metric runs in its own subprocess under a per-metric timeout, so
     one wedged graph cannot eat the others;
+  * each metric child probes the backend FIRST and prints a `# backend up`
+    marker; if the marker does not appear within BENCH_INIT_TIMEOUT_S the
+    parent kills the child and retries once (observed on 2026-08-19: the
+    intermittent init hang can hit a metric subprocess even after a
+    successful preflight, and without the watchdog it burned the metric's
+    whole 480 s budget);
   * an overall soft deadline (BENCH_DEADLINE_S, default 1260 s) shrinks
     per-metric budgets so the harness always finishes before a ~25-min
     external timeout with whatever it measured;
@@ -62,6 +68,9 @@ ROUND1_TRAIN_S_PER_IT = 1.46
 
 PREFLIGHT_ATTEMPTS = int(os.environ.get("BENCH_PREFLIGHT_ATTEMPTS", "3"))
 PREFLIGHT_TIMEOUT_S = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT_S", "150"))
+# a metric child must bring the backend up within this window or be retried
+INIT_TIMEOUT_S = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "150"))
+INIT_MARKER = "# backend up"
 # overall soft deadline: leave headroom under a ~25 min external timeout
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1260"))
 
@@ -185,6 +194,13 @@ def bench_train():
 
 def run_metric(name):
     """One metric, in-process. Prints the JSON line(s) itself."""
+    # bring the backend up FIRST and say so: the parent watches for this
+    # marker and kills+retries a child whose init hangs (intermittent axon
+    # condition; a hung init cannot be interrupted from inside the process)
+    import jax
+    t0 = time.time()
+    jax.devices()
+    print(f"{INIT_MARKER} ({time.time() - t0:.1f}s)", flush=True)
     if name == "headline":
         img_per_s, _ = _fwd_bench("coco_instance_r50", 4, 800, 800, iters=20)
         _emit("forward images/sec/chip (R50, 800x800, bf16)", img_per_s,
@@ -249,34 +265,54 @@ def run_preflight():
 # driver entry: watchdogged subprocess orchestration
 # ---------------------------------------------------------------------------
 
-def _run_child(args, timeout_s):
-    """Run `python bench.py <args>` streaming stdout through; kill the whole
-    process group on timeout (a hung TPU init ignores SIGTERM)."""
+def _run_child(args, timeout_s, init_timeout_s=None):
+    """Run `python bench.py <args>` streaming stdout through live; kill the
+    whole process group on timeout (a hung TPU init ignores SIGTERM). If
+    init_timeout_s is set and the INIT_MARKER line has not appeared by then,
+    kill and return "init-timeout" so the caller can retry cheaply instead
+    of burning the full metric budget on a hung backend init."""
+    import threading
+
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)] + args,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, start_new_session=True)
     lines = []
-    deadline = time.time() + timeout_s
-    try:
-        out, _ = proc.communicate(timeout=timeout_s)
-        lines = out.splitlines()
-        for ln in lines:
+    marker_seen = threading.Event()
+
+    def _reader():
+        for ln in proc.stdout:
+            ln = ln.rstrip("\n")
+            lines.append(ln)
             print(ln, flush=True)
-        return proc.returncode, lines
-    except subprocess.TimeoutExpired:
+            if ln.startswith(INIT_MARKER):
+                marker_seen.set()
+
+    th = threading.Thread(target=_reader, daemon=True)
+    th.start()
+    t0 = time.time()
+    verdict = None
+    while proc.poll() is None:
+        elapsed = time.time() - t0
+        if (init_timeout_s is not None and not marker_seen.is_set()
+                and elapsed > init_timeout_s):
+            verdict = "init-timeout"
+            break
+        if elapsed > timeout_s:
+            verdict = "timeout"
+            break
+        time.sleep(0.5)
+    if verdict is not None:
         try:
             os.killpg(proc.pid, signal.SIGKILL)
         except (ProcessLookupError, PermissionError):
             proc.kill()
-        try:
-            out, _ = proc.communicate(timeout=10)
-            for ln in out.splitlines():
-                print(ln, flush=True)
-        except subprocess.TimeoutExpired:
-            pass
-        del deadline
-        return "timeout", lines
+    try:
+        proc.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        pass
+    th.join(timeout=5)
+    return (verdict if verdict is not None else proc.returncode), lines
 
 
 def main():
@@ -309,25 +345,36 @@ def main():
             _emit_error(name, "skipped: backend preflight failed")
         return
 
-    # --- metrics: one subprocess each, per-metric + overall deadline ----
+    # --- metrics: one subprocess each, per-metric + overall deadline;
+    # a child whose backend init hangs is killed at INIT_TIMEOUT_S and
+    # retried once (the hang is intermittent — the next attach usually
+    # succeeds in seconds) ----------------------------------------------
     headline_line = None
-    for name, budget in METRICS:
-        budget = min(budget, remaining() - 30.0)
-        if budget < 90:
-            _emit_error(name, "skipped: overall bench deadline reached")
-            continue
-        rc, lines = _run_child(["--metric", name], budget)
-        if rc == "timeout":
-            _emit_error(name, f"timeout after {budget:.0f}s (killed)")
-            continue
-        if rc != 0:
-            tail = "; ".join(lines[-3:])[-300:] if lines else ""
-            _emit_error(name, f"subprocess rc={rc}: {tail}")
-            continue
-        if name == "headline":
-            for ln in lines:
-                if ln.startswith("{") and '"value"' in ln:
-                    headline_line = ln
+    for name, budget_cap in METRICS:
+        for attempt in (1, 2):
+            budget = min(budget_cap, remaining() - 30.0)
+            if budget < 90:
+                _emit_error(name, "skipped: overall bench deadline reached")
+                break
+            rc, lines = _run_child(
+                ["--metric", name], budget,
+                init_timeout_s=min(INIT_TIMEOUT_S, budget - 30.0))
+            if rc == "init-timeout" and attempt == 1:
+                print(f"# {name}: backend init hung >"
+                      f"{INIT_TIMEOUT_S:.0f}s, retrying", flush=True)
+                continue
+            if rc == "init-timeout":
+                _emit_error(name, "backend init hung on both attempts")
+            elif rc == "timeout":
+                _emit_error(name, f"timeout after {budget:.0f}s (killed)")
+            elif rc != 0:
+                tail = "; ".join(lines[-3:])[-300:] if lines else ""
+                _emit_error(name, f"subprocess rc={rc}: {tail}")
+            elif name == "headline":
+                for ln in lines:
+                    if ln.startswith("{") and '"value"' in ln:
+                        headline_line = ln
+            break
 
     # --- headline re-emitted as the LAST line (same measurement) --------
     if headline_line is not None:

@@ -381,10 +381,24 @@ def main():
         print(headline_line, flush=True)
 
 
+def run_selftest_child(pre_s, post_s):
+    """TPU-free child for tests/test_bench_harness.py: sleep pre_s, print
+    the INIT_MARKER, sleep post_s, exit 0. Lets the suite exercise
+    _run_child's init-timeout / timeout / success verdicts without a
+    backend."""
+    time.sleep(pre_s)
+    print(INIT_MARKER, flush=True)
+    time.sleep(post_s)
+    print("selftest child done", flush=True)
+
+
 if __name__ == "__main__":
     if "--preflight" in sys.argv:
         run_preflight()
     elif "--metric" in sys.argv:
         run_metric(sys.argv[sys.argv.index("--metric") + 1])
+    elif "--selftest-child" in sys.argv:
+        i = sys.argv.index("--selftest-child")
+        run_selftest_child(float(sys.argv[i + 1]), float(sys.argv[i + 2]))
     else:
         main()

@@ -76,9 +76,15 @@ DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1260"))
 
 # (name, per-metric timeout seconds). Ordered by importance; headline runs
 # first so it survives even a tight external timeout, and is re-emitted last.
+# train FIRST: its cold compile (~23 min measured) can never fit a metric
+# budget, so it must run while a pre-round warm is still resident in the
+# server-side compile cache — which evicts within tens of minutes (measured
+# 2026-08-19: graphs warmed 40-100 min earlier all missed). The headline
+# R50 forward cold-compiles in ~7 min and fits its budget at any position;
+# its JSON line is re-emitted as the LAST line either way.
 METRICS = [
-    ("headline", 480.0),
     ("train", 480.0),
+    ("headline", 480.0),
     ("swinl", 480.0),
     ("p50", 360.0),
 ]

@@ -220,19 +220,24 @@ class Trainer:
         )
 
     def shard_state(self, state: TrainState) -> TrainState:
-        """Place the state with the replicated sharding the compiled step
-        expects — avoids a silent SECOND compile on the first step (the
-        freshly-initialized state's default layout differs from the step
-        output's NamedSharding)."""
-        repl = NamedSharding(self.mesh, P())
-        return jax.device_put(state, jax.tree.map(lambda _: repl, state))
+        """Place the state with the shardings the compiled step expects —
+        avoids a silent SECOND compile on the first step (the freshly-
+        initialized state's default layout differs from the step output's
+        NamedSharding). Pure DP (mesh.model == 1) replicates everything;
+        with a non-trivial 'model' axis the TP rules (parallel/tp.py) shard
+        the wide transformer params + their Adam moments over it."""
+        from bm2f_tpu.parallel.tp import state_shardings
+
+        return jax.device_put(state, state_shardings(state, self.mesh))
 
     def compile_step(self, state: TrainState):
+        from bm2f_tpu.parallel.tp import state_shardings
+
         assign_fn = self._make_assign_fn()
         train_step = make_train_step(self.cfg, self.model, self.tx, assign_fn)
         repl = NamedSharding(self.mesh, P())
         data = NamedSharding(self.mesh, P("data"))
-        state_sh = jax.tree.map(lambda _: repl, state)
+        state_sh = state_shardings(state, self.mesh)
         self._step_fn = jax.jit(
             train_step,
             in_shardings=(state_sh, data),

@@ -67,12 +67,25 @@ A100_ESTIMATE_P50_MS = 1000.0 / A100_ESTIMATE_IMG_PER_S
 ROUND1_TRAIN_S_PER_IT = 1.46
 
 PREFLIGHT_ATTEMPTS = int(os.environ.get("BENCH_PREFLIGHT_ATTEMPTS", "3"))
-PREFLIGHT_TIMEOUT_S = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT_S", "150"))
+# first preflight window 240 s (observed GOOD init at 114.7 s — a 150 s
+# window kills inits that were about to succeed, VERDICT r4 weak item 5);
+# retries use a shorter window since a crashed worker recovers in ~3 min
+PREFLIGHT_TIMEOUT_S = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT_S", "240"))
+PREFLIGHT_RETRY_TIMEOUT_S = float(
+    os.environ.get("BENCH_PREFLIGHT_RETRY_TIMEOUT_S", "150"))
 # a metric child must bring the backend up within this window or be retried
 INIT_TIMEOUT_S = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "150"))
 INIT_MARKER = "# backend up"
-# overall soft deadline: leave headroom under a ~25 min external timeout
+# overall soft deadline for the METRICS, counted from the end of preflight
+# (VERDICT r4: a slow preflight used to eat the metric budgets); a hard
+# total cap still bounds the whole run under the driver's external timeout
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1260"))
+HARD_TOTAL_S = float(os.environ.get("BENCH_HARD_TOTAL_S", "1500"))
+
+# v5e peak numbers for the hardware-grounded utilization fields
+# (VERDICT r4 item 6): bf16 matmul peak and HBM bandwidth
+V5E_PEAK_FLOPS = 197e12
+V5E_HBM_BYTES_S = 819e9
 
 # (name, per-metric timeout seconds). Ordered by importance; headline runs
 # first so it survives even a tight external timeout, and is re-emitted last.
@@ -82,18 +95,49 @@ DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1260"))
 # 2026-08-19: graphs warmed 40-100 min earlier all missed). The headline
 # R50 forward cold-compiles in ~7 min and fits its budget at any position;
 # its JSON line is re-emitted as the LAST line either way.
+# Budgets sized to the round-5 scan-ified graphs' COLD costs measured on
+# the chip (tools/compile_timer.py): headline lower 3.6 s + compile 13 s
+# (was ~7 min unrolled); train lower ~300 s (AD tracing, the remaining
+# cost) + compile 65-124 s (was ~23 min) + run — fits 600 s cold with
+# margin. No keep-warm process, no server-cache dependence.
 METRICS = [
-    ("train", 480.0),
-    ("headline", 480.0),
-    ("swinl", 480.0),
-    ("p50", 360.0),
+    ("train", 600.0),
+    ("headline", 300.0),
+    ("swinl", 420.0),
+    ("p50", 240.0),
+    ("video", 300.0),
 ]
 
 
-def _emit(metric, value, unit, vs_baseline):
-    print(json.dumps({"metric": metric, "value": round(value, 2),
-                      "unit": unit, "vs_baseline": round(vs_baseline, 2)}),
-          flush=True)
+def _emit(metric, value, unit, vs_baseline, **extra):
+    line = {"metric": metric, "value": round(value, 2), "unit": unit,
+            "vs_baseline": round(vs_baseline, 2)}
+    line.update({k: v for k, v in extra.items() if v is not None})
+    print(json.dumps(line), flush=True)
+
+
+def _cost_analysis(compiled):
+    """(flops, bytes_accessed) from an AOT-compiled executable, or Nones —
+    powers the MFU / HBM-utilization fields. Wrapped: not every backend
+    exposes cost analysis."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return ca.get("flops"), ca.get("bytes accessed")
+    except Exception:
+        return None, None
+
+
+def _util_fields(flops, nbytes, dt_s):
+    """mfu = achieved flops / bf16 peak; hbm_util = achieved bytes / peak
+    bandwidth — per-executable-invocation time dt_s."""
+    out = {}
+    if flops and dt_s > 0:
+        out["mfu"] = round(flops / dt_s / V5E_PEAK_FLOPS, 4)
+    if nbytes and dt_s > 0:
+        out["hbm_util"] = round(nbytes / dt_s / V5E_HBM_BYTES_S, 4)
+    return out
 
 
 def _emit_error(metric, error):
@@ -134,13 +178,18 @@ def _fwd_bench(cfg_name, B, H, W, iters, overrides=None,
         out = model.apply(variables, normalize_images(images + shift, cfg.model))
         return out["pred_logits"], out["pred_masks"]
 
+    # AOT lower+compile: same executable the jit path would build, plus
+    # cost_analysis for the MFU / HBM-utilization fields
+    shift = jnp.float32(0.0)
+    compiled = fwd.lower(variables, images, shift).compile()
+    flops, nbytes = _cost_analysis(compiled)
+
     # warmup MUST sync by pulling a scalar: block_until_ready is a no-op on
     # the axon platform, and an unsynced warmup leaks compile + first-run
     # work into the timed window (measured 9x distortion on Swin-L)
-    shift = jnp.float32(0.0)
-    logits, _ = fwd(variables, images, shift)
+    logits, _ = compiled(variables, images, shift)
     shift = logits[0, 0, 0].astype(jnp.float32) * 1e-6
-    logits, _ = fwd(variables, images, shift)
+    logits, _ = compiled(variables, images, shift)
     shift = logits[0, 0, 0].astype(jnp.float32) * 1e-6
     float(shift)
 
@@ -148,14 +197,14 @@ def _fwd_bench(cfg_name, B, H, W, iters, overrides=None,
     t0 = time.perf_counter()
     for _ in range(iters):
         t1 = time.perf_counter()
-        logits, _ = fwd(variables, images, shift)
+        logits, _ = compiled(variables, images, shift)
         shift = logits[0, 0, 0].astype(jnp.float32) * 1e-6
         if per_iter_sync:
             float(shift)  # host sync (block_until_ready no-ops on axon)
         times.append(time.perf_counter() - t1)
     float(shift)
     dt = time.perf_counter() - t0
-    return B * iters / dt, times
+    return B * iters / dt, times, _util_fields(flops, nbytes, dt / iters)
 
 
 def bench_train():
@@ -187,15 +236,17 @@ def bench_train():
     with trainer.mesh:
         batch = shard_batch(batch, trainer.mesh)
         state = trainer.shard_state(state)
-        state, metrics = step_fn(state, batch)  # compile
+        compiled = step_fn.lower(state, batch).compile()
+        flops, nbytes = _cost_analysis(compiled)
+        state, metrics = compiled(state, batch)  # first run
         float(metrics["total_loss"])
         iters = 5
         t0 = time.perf_counter()
         for _ in range(iters):
-            state, metrics = step_fn(state, batch)
+            state, metrics = compiled(state, batch)
         float(metrics["total_loss"])  # the state chain defeats dedupe
         dt = (time.perf_counter() - t0) / iters
-    return dt
+    return dt, _util_fields(flops, nbytes, dt)
 
 
 def run_metric(name):
@@ -208,17 +259,19 @@ def run_metric(name):
     jax.devices()
     print(f"{INIT_MARKER} ({time.time() - t0:.1f}s)", flush=True)
     if name == "headline":
-        img_per_s, _ = _fwd_bench("coco_instance_r50", 4, 800, 800, iters=20)
+        img_per_s, _, util = _fwd_bench("coco_instance_r50", 4, 800, 800,
+                                        iters=20)
         _emit("forward images/sec/chip (R50, 800x800, bf16)", img_per_s,
-              "img/s", img_per_s / A100_ESTIMATE_IMG_PER_S)
+              "img/s", img_per_s / A100_ESTIMATE_IMG_PER_S, **util)
     elif name == "train":
-        s_per_it = bench_train()
+        s_per_it, util = bench_train()
         _emit("train s/it (R50, 1024x1024, B=2, JV matcher)", s_per_it,
-              "s/it", ROUND1_TRAIN_S_PER_IT / s_per_it)
+              "s/it", ROUND1_TRAIN_S_PER_IT / s_per_it, **util)
     elif name == "swinl":
-        swinl, _ = _fwd_bench("coco_panoptic_swin_l", 2, 800, 800, iters=10)
+        swinl, _, util = _fwd_bench("coco_panoptic_swin_l", 2, 800, 800,
+                                    iters=10)
         _emit("forward images/sec/chip (Swin-L 200q, 800x800, bf16)", swinl,
-              "img/s", swinl / A100_ESTIMATE_SWINL_IMG_PER_S)
+              "img/s", swinl / A100_ESTIMATE_SWINL_IMG_PER_S, **util)
     elif name == "p50":
         # p50 single-image latency (R50). Per-iteration timing must pull a
         # scalar to the host (block_until_ready no-ops on axon) and that
@@ -227,8 +280,8 @@ def run_metric(name):
         # raw and net are printed for transparency (ADVICE r3: the full
         # round-trip subtraction slightly over-corrects, so the raw number
         # is the honest upper bound).
-        _, times = _fwd_bench("coco_instance_r50", 1, 800, 800, iters=20,
-                              per_iter_sync=True)
+        _, times, _util = _fwd_bench("coco_instance_r50", 1, 800, 800,
+                                     iters=20, per_iter_sync=True)
         import jax.numpy as jnp
         x = jnp.float32(1.0)
         null = []
@@ -244,6 +297,58 @@ def run_metric(name):
               f" {sync_ms:.1f} ms", flush=True)
         _emit("p50 single-image forward latency (R50, 800x800)", p50, "ms",
               A100_ESTIMATE_P50_MS / p50)
+    elif name == "video":
+        # YTVIS-shaped clip forward: R50, T=8 x 480x640 (the video stack's
+        # perf was previously untracked — VERDICT r4 item 9). Reference
+        # analogue: the clip-at-once forward in
+        # mask2former_video/video_maskformer_model_WithColor.py:316-324.
+        import jax
+        import jax.numpy as jnp
+
+        from bm2f_tpu.config import get_config
+        from bm2f_tpu.models.maskformer import normalize_images
+        from bm2f_tpu.video import build_video_model
+
+        B, T, H, W = 1, 8, 480, 640
+        cfg = get_config("ytvis2021_video_r50", {
+            "model.dtype": "bfloat16", "model.pixel_decoder_f32": False,
+        })
+        model = build_video_model(cfg)
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(B, T, H, W, 3).astype(np.float32) * 255)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            normalize_images(images[:, :2], cfg.model))
+
+        @jax.jit
+        def fwd(variables, images, shift):
+            out = model.apply(
+                variables, normalize_images(images + shift, cfg.model))
+            return out["pred_logits"], out["pred_masks"]
+
+        shift = jnp.float32(0.0)
+        compiled = fwd.lower(variables, images, shift).compile()
+        flops, nbytes = _cost_analysis(compiled)
+        logits, _ = compiled(variables, images, shift)
+        shift = logits[0, 0, 0].astype(jnp.float32) * 1e-6
+        logits, _ = compiled(variables, images, shift)
+        shift = logits[0, 0, 0].astype(jnp.float32) * 1e-6
+        float(shift)
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            logits, _ = compiled(variables, images, shift)
+            shift = logits[0, 0, 0].astype(jnp.float32) * 1e-6
+        float(shift)
+        dt = time.perf_counter() - t0
+        frames_per_s = B * T * iters / dt
+        # baseline: the video model is the image model + clip decoder; the
+        # paper-derived A100 estimate for R50 image forward (17.2 img/s)
+        # is the per-frame bar
+        _emit("video clip forward frames/sec/chip (R50, T=8, 480x640, bf16)",
+              frames_per_s, "frames/s",
+              frames_per_s / A100_ESTIMATE_IMG_PER_S,
+              **_util_fields(flops, nbytes, dt / iters))
     else:
         raise SystemExit(f"unknown metric {name!r}")
 
@@ -271,16 +376,17 @@ def run_preflight():
 # driver entry: watchdogged subprocess orchestration
 # ---------------------------------------------------------------------------
 
-def _run_child(args, timeout_s, init_timeout_s=None):
-    """Run `python bench.py <args>` streaming stdout through live; kill the
-    whole process group on timeout (a hung TPU init ignores SIGTERM). If
-    init_timeout_s is set and the INIT_MARKER line has not appeared by then,
-    kill and return "init-timeout" so the caller can retry cheaply instead
-    of burning the full metric budget on a hung backend init."""
+def _run_child(args, timeout_s, init_timeout_s=None, script=None):
+    """Run `python <script or bench.py> <args>` streaming stdout through
+    live; kill the whole process group on timeout (a hung TPU init ignores
+    SIGTERM). If init_timeout_s is set and the INIT_MARKER line has not
+    appeared by then, kill and return "init-timeout" so the caller can retry
+    cheaply instead of burning the full metric budget on a hung backend
+    init."""
     import threading
 
     proc = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__)] + args,
+        [sys.executable, script or os.path.abspath(__file__)] + args,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, start_new_session=True)
     lines = []
@@ -324,13 +430,16 @@ def _run_child(args, timeout_s, init_timeout_s=None):
 def main():
     t_start = time.time()
 
-    def remaining():
-        return DEADLINE_S - (time.time() - t_start)
+    def hard_remaining():
+        return HARD_TOTAL_S - (time.time() - t_start)
 
-    # --- preflight: bounded, retried, killable --------------------------
+    # --- preflight: bounded, retried, killable. Attempt 1 gets the long
+    # window (observed good-but-slow inits up to 114.7 s); retries the
+    # short one (a crashed worker recovers on its own in ~3 min) ---------
     ok = False
     for attempt in range(1, PREFLIGHT_ATTEMPTS + 1):
-        budget = min(PREFLIGHT_TIMEOUT_S, max(30.0, remaining() - 60.0))
+        cap = PREFLIGHT_TIMEOUT_S if attempt == 1 else PREFLIGHT_RETRY_TIMEOUT_S
+        budget = min(cap, max(30.0, hard_remaining() - 120.0))
         print(f"# preflight attempt {attempt}/{PREFLIGHT_ATTEMPTS} "
               f"(timeout {budget:.0f}s)", flush=True)
         rc, _ = _run_child(["--preflight"], budget)
@@ -338,7 +447,7 @@ def main():
             ok = True
             break
         print(f"# preflight attempt {attempt} failed (rc={rc})", flush=True)
-        if remaining() < 120:
+        if hard_remaining() < 180:
             break
         if attempt < PREFLIGHT_ATTEMPTS:
             time.sleep(20)  # crashed worker recovers on its own in ~3 min
@@ -350,6 +459,14 @@ def main():
         for name, _ in METRICS:
             _emit_error(name, "skipped: backend preflight failed")
         return
+
+    # --- metric deadline counts from HERE (post-preflight), bounded by the
+    # hard total cap (VERDICT r4: preflight retries used to eat the 1260 s
+    # deadline and shrink the headline's budget to less than its compile)
+    t_metrics = time.time()
+
+    def remaining():
+        return min(DEADLINE_S - (time.time() - t_metrics), hard_remaining())
 
     # --- metrics: one subprocess each, per-metric + overall deadline;
     # a child whose backend init hangs is killed at INIT_TIMEOUT_S and
@@ -381,6 +498,24 @@ def main():
                     if ln.startswith("{") and '"value"' in ln:
                         headline_line = ln
             break
+
+    # --- on-chip Pallas kernel gate (VERDICT r4 item 7): certify the
+    # Mosaic compile on real hardware every round. Runs AFTER the metrics
+    # so it can never starve their budgets; bounded by the hard cap.
+    gate = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "onchip_kernel_check.py")
+    budget = min(300.0, hard_remaining() - 30.0)
+    if budget > 60 and os.path.exists(gate):
+        rc, lines = _run_child([], budget, script=gate)
+        if rc == 0:
+            _emit("onchip_kernel_check (Pallas vs XLA, fwd+grads)", 1.0,
+                  "pass", 1.0)
+        else:
+            _emit_error("onchip_kernel_check",
+                        f"rc={rc}: " + ("; ".join(lines[-2:])[-200:]
+                                        if lines else ""))
+    else:
+        _emit_error("onchip_kernel_check", "skipped: no time budget left")
 
     # --- headline re-emitted as the LAST line (same measurement) --------
     if headline_line is not None:

@@ -176,17 +176,22 @@ def video_set_criterion(
     L1 = logits_all.shape[0]
     rngs = jax.random.split(rng, 2 * L1 + 1)
 
-    costs = []
-    for i in range(L1):
-        costs.append(
-            video_matcher_costs(
-                logits_all[i], jax.lax.stop_gradient(masks_all[i]),
-                tgt_labels, tgt_masks, tgt_valid, rngs[i],
-                num_points=cfg.num_points, cost_class=cfg.class_weight,
-                cost_mask=cfg.mask_weight, cost_dice=cfg.dice_weight,
-            )
+    # per-layer loops are lax.scan: one compiled body instead of L1 copies
+    # (the round-5 cold-compile work — see criterion.set_criterion)
+    def cost_body(_, xs):
+        logits, masks, r = xs
+        C = video_matcher_costs(
+            logits, jax.lax.stop_gradient(masks),
+            tgt_labels, tgt_masks, tgt_valid, r,
+            num_points=cfg.num_points, cost_class=cfg.class_weight,
+            cost_mask=cfg.mask_weight, cost_dice=cfg.dice_weight,
         )
-    costs = jax.lax.stop_gradient(jnp.stack(costs, axis=1))  # (B, L1, Q, G)
+        return None, C
+
+    _, costs_l = jax.lax.scan(
+        cost_body, None, (logits_all, masks_all, rngs[:L1])
+    )
+    costs = jax.lax.stop_gradient(costs_l.transpose(1, 0, 2, 3))  # (B,L1,Q,G)
     if assign_fn is None:
         from bm2f_tpu.matching.hungarian import assign_fn_default
 
@@ -208,21 +213,29 @@ def video_set_criterion(
     )
     tgt_table = build_corner_table(tgt_bt.astype(jnp.int8))
 
-    losses: Dict[str, jnp.ndarray] = {}
-    total = 0.0
-    for i in range(L1):
-        suffix = "" if i == L1 - 1 else f"_{i}"
-        loss_ce = _loss_labels(logits_all[i], tgt_labels, tgt_valid, assignments[i], cfg)
+    def loss_body(_, xs):
+        logits, masks, assign, r = xs
+        loss_ce = _loss_labels(logits, tgt_labels, tgt_valid, assign, cfg)
         loss_mask, loss_dice = _video_loss_masks(
-            rngs[L1 + i], masks_all[i], tgt_masks, tgt_valid, assignments[i],
+            r, masks, tgt_masks, tgt_valid, assign,
             num_masks, cfg, tgt_table=tgt_table,
         )
-        losses[f"loss_ce{suffix}"] = loss_ce
-        losses[f"loss_mask{suffix}"] = loss_mask
-        losses[f"loss_dice{suffix}"] = loss_dice
-        total = total + (
-            cfg.class_weight * loss_ce
-            + cfg.mask_weight * loss_mask
-            + cfg.dice_weight * loss_dice
-        )
+        return None, (loss_ce, loss_mask, loss_dice)
+
+    _, (ce_l, mask_l, dice_l) = jax.lax.scan(
+        loss_body, None,
+        (logits_all, masks_all, assignments, rngs[L1 : 2 * L1]),
+    )
+
+    losses: Dict[str, jnp.ndarray] = {}
+    for i in range(L1):
+        suffix = "" if i == L1 - 1 else f"_{i}"
+        losses[f"loss_ce{suffix}"] = ce_l[i]
+        losses[f"loss_mask{suffix}"] = mask_l[i]
+        losses[f"loss_dice{suffix}"] = dice_l[i]
+    total = (
+        cfg.class_weight * jnp.sum(ce_l)
+        + cfg.mask_weight * jnp.sum(mask_l)
+        + cfg.dice_weight * jnp.sum(dice_l)
+    )
     return total, losses

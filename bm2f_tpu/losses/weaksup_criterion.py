@@ -116,19 +116,22 @@ def weaksup_set_criterion(
     )
     L1 = logits_all.shape[0]
 
-    costs = []
-    for i in range(L1):
-        costs.append(
-            weaksup_matcher_costs(
-                logits_all[i], jax.lax.stop_gradient(masks_all[i]), targets,
-                cost_class=cfg.class_weight,
-                cost_projection=projection_weight,
-                cost_pairwise=pairwise_weight if use_pairwise else 0.0,
-                color_thresh=color_thresh, kernel_size=kernel_size,
-                dilation=dilation, warmup_factor=warmup_factor,
-            )
+    # per-layer loops are lax.scan: one compiled body instead of L1 copies
+    # (the round-5 cold-compile work — see criterion.set_criterion)
+    def cost_body(_, xs):
+        logits, masks = xs
+        C = weaksup_matcher_costs(
+            logits, jax.lax.stop_gradient(masks), targets,
+            cost_class=cfg.class_weight,
+            cost_projection=projection_weight,
+            cost_pairwise=pairwise_weight if use_pairwise else 0.0,
+            color_thresh=color_thresh, kernel_size=kernel_size,
+            dilation=dilation, warmup_factor=warmup_factor,
         )
-    costs = jax.lax.stop_gradient(jnp.stack(costs, axis=1))  # (B, L1, Q, G)
+        return None, C
+
+    _, costs_l = jax.lax.scan(cost_body, None, (logits_all, masks_all))
+    costs = jax.lax.stop_gradient(costs_l.transpose(1, 0, 2, 3))  # (B,L1,Q,G)
     if assign_fn is None:
         from bm2f_tpu.matching.hungarian import assign_fn_default
 
@@ -158,26 +161,40 @@ def weaksup_set_criterion(
         (B, G, *targets["color_similarity"].shape[1:]),
     ).reshape(B * G, *targets["color_similarity"].shape[1:])
 
-    losses: Dict[str, jnp.ndarray] = {}
-    total = 0.0
-    for i in range(L1):
-        suffix = "" if i == L1 - 1 else f"_{i}"
-        loss_ce = _loss_labels(logits_all[i], labels, valid, assignments[i], cfg)
+    def loss_body(_, xs):
+        logits, masks, assign = xs
+        loss_ce = _loss_labels(logits, labels, valid, assign, cfg)
         src = jnp.take_along_axis(
-            masks_all[i], assignments[i][:, :, None, None], axis=1
-        ).reshape(B * G, *masks_all[i].shape[2:]).astype(jnp.float32)
+            masks, assign[:, :, None, None], axis=1
+        ).reshape(B * G, *masks.shape[2:]).astype(jnp.float32)
         loss_proj = projection_loss(
             src, box_flat, bounds_flat, valid_flat, num_masks
         )
-        losses[f"loss_ce{suffix}"] = loss_ce
-        losses[f"loss_mask_projection{suffix}"] = loss_proj
-        total = total + cfg.class_weight * loss_ce + projection_weight * loss_proj
-        if use_pairwise:
-            loss_pair = pairwise_loss(
+        loss_pair = (
+            pairwise_loss(
                 src, cs_flat, box_flat, valid_flat, num_masks,
                 color_thresh=color_thresh, kernel_size=kernel_size,
                 dilation=dilation, warmup_factor=warmup_factor,
             )
-            losses[f"loss_pairwise{suffix}"] = loss_pair
-            total = total + pairwise_weight * loss_pair
+            if use_pairwise
+            else jnp.zeros((), jnp.float32)
+        )
+        return None, (loss_ce, loss_proj, loss_pair)
+
+    _, (ce_l, proj_l, pair_l) = jax.lax.scan(
+        loss_body, None, (logits_all, masks_all, assignments)
+    )
+
+    losses: Dict[str, jnp.ndarray] = {}
+    for i in range(L1):
+        suffix = "" if i == L1 - 1 else f"_{i}"
+        losses[f"loss_ce{suffix}"] = ce_l[i]
+        losses[f"loss_mask_projection{suffix}"] = proj_l[i]
+        if use_pairwise:
+            losses[f"loss_pairwise{suffix}"] = pair_l[i]
+    total = (
+        cfg.class_weight * jnp.sum(ce_l)
+        + projection_weight * jnp.sum(proj_l)
+        + (pairwise_weight * jnp.sum(pair_l) if use_pairwise else 0.0)
+    )
     return total, losses

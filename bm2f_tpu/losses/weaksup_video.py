@@ -211,18 +211,21 @@ def video_weaksup_set_criterion(
     )
     L1 = logits_all.shape[0]
 
-    costs = []
-    for i in range(L1):
-        costs.append(
-            video_weaksup_matcher_costs(
-                logits_all[i], jax.lax.stop_gradient(masks_all[i]), targets,
-                cost_class=cfg.class_weight, cost_projection=projection_weight,
-                cost_pairwise=pairwise_weight if use_spat else 0.0,
-                color_thresh=color_thresh, kernel_size=kernel_size,
-                dilation=dilation, warmup_factor=warmup_factor,
-            )
+    # per-layer loops are lax.scan: one compiled body instead of L1 copies
+    # (the round-5 cold-compile work — see criterion.set_criterion)
+    def cost_body(_, xs):
+        logits, masks = xs
+        C = video_weaksup_matcher_costs(
+            logits, jax.lax.stop_gradient(masks), targets,
+            cost_class=cfg.class_weight, cost_projection=projection_weight,
+            cost_pairwise=pairwise_weight if use_spat else 0.0,
+            color_thresh=color_thresh, kernel_size=kernel_size,
+            dilation=dilation, warmup_factor=warmup_factor,
         )
-    costs = jax.lax.stop_gradient(jnp.stack(costs, axis=1))
+        return None, C
+
+    _, costs_l = jax.lax.scan(cost_body, None, (logits_all, masks_all))
+    costs = jax.lax.stop_gradient(costs_l.transpose(1, 0, 2, 3))
     if assign_fn is None:
         from bm2f_tpu.matching.hungarian import assign_fn_default
 
@@ -242,27 +245,25 @@ def video_weaksup_set_criterion(
         cs[:, None], (B, G, T, h, w, cs.shape[-1])
     ).reshape(B * G * T, h, w, cs.shape[-1])
 
-    losses: Dict[str, jnp.ndarray] = {}
-    total = 0.0
-    for i in range(L1):
-        suffix = "" if i == L1 - 1 else f"_{i}"
-        loss_ce = _loss_labels(logits_all[i], labels, valid, assignments[i], cfg)
+    def loss_body(_, xs):
+        logits, masks, assign = xs
+        loss_ce = _loss_labels(logits, labels, valid, assign, cfg)
         src = jnp.take_along_axis(
-            masks_all[i], assignments[i][:, :, None, None, None], axis=1
+            masks, assign[:, :, None, None, None], axis=1
         )  # (B,G,T,h,w)
         src_ft = src.reshape(B * G * T, h, w).astype(jnp.float32)
-        loss_proj = projection_loss(src_ft, box_ft, bounds_ft, valid_ft, num_masks * T)
-        losses[f"loss_ce{suffix}"] = loss_ce
-        losses[f"loss_mask_projection{suffix}"] = loss_proj
-        total = total + cfg.class_weight * loss_ce + projection_weight * loss_proj
-        if use_spat:
-            loss_pair = pairwise_loss(
+        loss_proj = projection_loss(
+            src_ft, box_ft, bounds_ft, valid_ft, num_masks * T
+        )
+        loss_pair = (
+            pairwise_loss(
                 src_ft, cs_ft, box_ft, valid_ft, num_masks * T,
                 color_thresh=color_thresh, kernel_size=kernel_size,
                 dilation=dilation, warmup_factor=warmup_factor,
             )
-            losses[f"loss_mask_spatial_pairwise{suffix}"] = loss_pair
-            total = total + pairwise_weight * loss_pair
+            if use_spat
+            else jnp.zeros((), jnp.float32)
+        )
         if use_temp:
             src_bgt = src.reshape(B * G, T, h, w).astype(jnp.float32)
             pv = targets["temporal_pairs_valid"].reshape(B * G, T - 1, -1)
@@ -272,8 +273,29 @@ def video_weaksup_set_criterion(
                 targets["temporal_pairs"].reshape(B * G, T - 1, -1, 4),
                 pv, warmup_factor,
             )
-            losses[f"loss_mask_temporal_pairwise{suffix}"] = loss_temp
-            total = total + temporal_pairwise_weight * loss_temp
+        else:
+            loss_temp = jnp.zeros((), jnp.float32)
+        return None, (loss_ce, loss_proj, loss_pair, loss_temp)
+
+    _, (ce_l, proj_l, pair_l, temp_l) = jax.lax.scan(
+        loss_body, None, (logits_all, masks_all, assignments)
+    )
+
+    losses: Dict[str, jnp.ndarray] = {}
+    for i in range(L1):
+        suffix = "" if i == L1 - 1 else f"_{i}"
+        losses[f"loss_ce{suffix}"] = ce_l[i]
+        losses[f"loss_mask_projection{suffix}"] = proj_l[i]
+        if use_spat:
+            losses[f"loss_mask_spatial_pairwise{suffix}"] = pair_l[i]
+        if use_temp:
+            losses[f"loss_mask_temporal_pairwise{suffix}"] = temp_l[i]
+    total = (
+        cfg.class_weight * jnp.sum(ce_l)
+        + projection_weight * jnp.sum(proj_l)
+        + (pairwise_weight * jnp.sum(pair_l) if use_spat else 0.0)
+        + (temporal_pairwise_weight * jnp.sum(temp_l) if use_temp else 0.0)
+    )
     # debug metric (reference: video_maskformer_model.py:361-369
     # loss_pos_temp_pair_prop — DINO-match survival rate)
     if use_temp:

@@ -343,19 +343,38 @@ class MSDeformAttnPixelDecoder(nn.Module):
             if cfg.remat
             else DeformableEncoderLayer
         )
-        for li in range(cfg.transformer_enc_layers):
-            src = layer_cls(
-                d_model=conv_dim,
-                d_ffn=cfg.transformer_dim_feedforward,
-                n_levels=L,
-                n_heads=cfg.transformer_nheads,
-                n_points=cfg.transformer_n_points,
-                dtype=self.dtype,
-                impl=self.deform_impl or getattr(cfg, "deform_impl", "im2col"),
-                q_chunks=cfg.deform_q_chunks,
-                q_tile=getattr(cfg, "deform_q_tile", 256),
-                name=f"encoder_layer_{li}",
-            )(src, pos, ref_points, shapes)
+        # All encoder layers run under ONE nn.scan with stacked params
+        # (leading axis = layer): the layer body is compiled once instead of
+        # transformer_enc_layers times. Identical math and execution order to
+        # the unrolled loop (lax.scan semantics); the win is COMPILE time —
+        # the unrolled 6-layer encoder was the largest repeated block in the
+        # train step's ~23 min cold XLA compile (round-5 verdict item 1).
+        # Param tree: encoder_layers/... with shape (n_layers, ...), mapped
+        # from the reference's transformer.encoder.layers.{i} by the
+        # checkpoint converter (utils/convert_weights.py).
+        layer = layer_cls(
+            d_model=conv_dim,
+            d_ffn=cfg.transformer_dim_feedforward,
+            n_levels=L,
+            n_heads=cfg.transformer_nheads,
+            n_points=cfg.transformer_n_points,
+            dtype=self.dtype,
+            impl=self.deform_impl or getattr(cfg, "deform_impl", "im2col"),
+            q_chunks=cfg.deform_q_chunks,
+            q_tile=getattr(cfg, "deform_q_tile", 256),
+            name="encoder_layers",
+        )
+
+        def body(mod, carry, _):
+            return mod(carry, pos, ref_points, shapes), None
+
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.transformer_enc_layers,
+        )
+        src, _ = scan(layer, src, None)
 
         # split back to images, top-down order (res5 first)
         out: List[jnp.ndarray] = []

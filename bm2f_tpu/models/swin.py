@@ -97,13 +97,18 @@ def window_reverse(x: jnp.ndarray, window: int, B: int, H: int, W: int) -> jnp.n
 
 
 class DropPath(nn.Module):
-    rate: float
+    """Stochastic depth. `rate` may be overridden per call with a (possibly
+    traced) scalar — required by the stage-scan path, where the per-block
+    rate is a scanned input rather than a static attribute."""
+
+    rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool):
-        if deterministic or self.rate == 0.0:
+    def __call__(self, x, deterministic: bool, rate=None):
+        if deterministic or (rate is None and self.rate == 0.0):
             return x
-        keep = 1.0 - self.rate
+        r = self.rate if rate is None else rate
+        keep = 1.0 - r
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
@@ -170,8 +175,9 @@ class SwinBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        """x: (B, H, W, C)."""
+    def __call__(self, x, deterministic: bool = True, dp_rate=None):
+        """x: (B, H, W, C). `dp_rate` optionally overrides the static
+        drop_path rate (traced scalar under the stage scan)."""
         B, H, W, C = x.shape
         w = self.window
         shortcut = x
@@ -204,7 +210,7 @@ class SwinBlock(nn.Module):
         x = x[:, :H, :W]
 
         dp = DropPath(self.drop_path, name="drop_path")
-        x = shortcut + dp(x, deterministic)
+        x = shortcut + dp(x, deterministic, dp_rate)
 
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(
@@ -216,7 +222,51 @@ class SwinBlock(nn.Module):
             self.dim, kernel_init=torch_linear_init,
             bias_init=nn.initializers.zeros, dtype=self.dtype, name="mlp_fc2",
         )(y)
-        return x + dp(y, deterministic)
+        return x + dp(y, deterministic, dp_rate)
+
+
+class SwinBlockPair(nn.Module):
+    """One (unshifted, shifted) block pair — the nn.scan unit of a Swin
+    stage. Swin's blocks strictly alternate shift=0 / shift=window//2
+    (reference swin.py:446: `shift_size=0 if (i % 2 == 0) else ...`) and all
+    stage depths are even in every published variant, so a stage of depth d
+    is d/2 identical-structure pairs: scanning them compiles the pair body
+    ONCE instead of d times (Swin-L stage 2: 18 blocks -> 1 compiled pair;
+    the unrolled form was the bulk of the Swin-L forward's ~29 min cold
+    XLA compile). Per-block drop-path rates arrive as scanned inputs.
+
+    Param tree: stage{s}_pairs/block{0,1}/... with a leading (d/2,) axis,
+    mapped from the reference's layers.{s}.blocks.{i} by
+    utils/convert_weights.py (block0 <- even i, block1 <- odd i)."""
+
+    dim: int
+    num_heads: int
+    window: int
+    mlp_ratio: float
+    qkv_bias: bool
+    qk_scale: Optional[float]
+    dtype: Any = jnp.float32
+    use_remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, dp_rates, deterministic: bool = True):
+        block_cls = (
+            nn.remat(SwinBlock, static_argnums=(2,))
+            if self.use_remat
+            else SwinBlock
+        )
+        common = dict(
+            dim=self.dim, num_heads=self.num_heads, window=self.window,
+            mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, drop_path=0.0, dtype=self.dtype,
+        )
+        x = block_cls(shift=0, name="block0", **common)(
+            x, deterministic, dp_rates[0]
+        )
+        x = block_cls(shift=self.window // 2, name="block1", **common)(
+            x, deterministic, dp_rates[1]
+        )
+        return x
 
 
 class PatchMerging(nn.Module):
@@ -312,25 +362,57 @@ class SwinTransformer(nn.Module):
         di = 0
         num_stages = len(self.depths)
         for stage in range(num_stages):
-            block_cls = (
-                nn.remat(SwinBlock, static_argnums=(2,))
-                if self.use_checkpoint
-                else SwinBlock
-            )
-            for b in range(self.depths[stage]):
-                x = block_cls(
+            depth = self.depths[stage]
+            if depth % 2 == 0:
+                # the common case (every published variant): scan the
+                # (unshifted, shifted) block pairs — see SwinBlockPair
+                n_pairs = depth // 2
+                rates = jnp.asarray(
+                    dpr[di : di + depth], jnp.float32
+                ).reshape(n_pairs, 2)
+                pair = SwinBlockPair(
                     dim=dim,
                     num_heads=self.num_heads[stage],
                     window=self.window,
-                    shift=0 if b % 2 == 0 else self.window // 2,
                     mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias,
                     qk_scale=self.qk_scale,
-                    drop_path=dpr[di],
                     dtype=self.dtype,
-                    name=f"stage{stage}_block{b}",
-                )(x, deterministic)
-                di += 1
+                    use_remat=self.use_checkpoint,
+                    name=f"stage{stage}_pairs",
+                )
+
+                def body(mod, carry, xs):
+                    return mod(carry, xs, deterministic), None
+
+                scan = nn.scan(
+                    body,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    length=n_pairs,
+                )
+                x, _ = scan(pair, x, rates)
+                di += depth
+            else:
+                block_cls = (
+                    nn.remat(SwinBlock, static_argnums=(2,))
+                    if self.use_checkpoint
+                    else SwinBlock
+                )
+                for b in range(depth):
+                    x = block_cls(
+                        dim=dim,
+                        num_heads=self.num_heads[stage],
+                        window=self.window,
+                        shift=0 if b % 2 == 0 else self.window // 2,
+                        mlp_ratio=self.mlp_ratio,
+                        qkv_bias=self.qkv_bias,
+                        qk_scale=self.qk_scale,
+                        drop_path=dpr[di],
+                        dtype=self.dtype,
+                        name=f"stage{stage}_block{b}",
+                    )(x, deterministic)
+                    di += 1
             name = f"res{stage + 2}"
             if name in self.out_features:
                 outs[name] = nn.LayerNorm(

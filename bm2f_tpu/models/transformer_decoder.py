@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bm2f_tpu.config import DecoderConfig
-from bm2f_tpu.models.layers import MLP, MultiHeadAttention, xavier_uniform
+from bm2f_tpu.models.layers import MultiHeadAttention, xavier_uniform
 from bm2f_tpu.models.position_encoding import sine_position_embedding_2d
 from bm2f_tpu.ops import resize_bilinear
 
@@ -82,6 +82,92 @@ class FFNLayer(nn.Module):
         return norm(tgt + lin2(nn.relu(lin1(tgt))))
 
 
+class _LayerNormParams(nn.Module):
+    """Parameter holder mirroring nn.LayerNorm's tree ({scale, bias}) —
+    lets the shared decoder norm live OUTSIDE the rounds-scan (its values
+    are closed over by the scan body) while keeping the exact checkpoint
+    path `decoder_norm/{scale,bias}`."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder mirroring nn.Dense's tree ({kernel, bias})."""
+
+    din: int
+    dout: int
+    kernel_init: Any = xavier_uniform
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", self.kernel_init, (self.din, self.dout)),
+            self.param("bias", nn.initializers.zeros, (self.dout,)),
+        )
+
+
+class _MLPParams(nn.Module):
+    """Parameter holder mirroring MLP's tree (layers_{i}/{kernel, bias})."""
+
+    dims: Tuple[Tuple[int, int], ...]
+
+    @nn.compact
+    def __call__(self):
+        from bm2f_tpu.models.layers import torch_linear_init
+
+        return [
+            _DenseParams(din, dout, kernel_init=torch_linear_init,
+                         name=f"layers_{i}")()
+            for i, (din, dout) in enumerate(self.dims)
+        ]
+
+
+class _DecoderRound(nn.Module):
+    """One round of nL (cross-attention, self-attention, FFN) layers — the
+    nn.scan unit of the masked decoder. The reference's 9 layers cycle the
+    3 feature levels (li = i % 3, reference :398-418), so the decoder is 3
+    structurally identical rounds: scanning them compiles the round body
+    once instead of three times (round-5 cold-compile work). The SHARED
+    prediction head (decoder_norm + mask_embed, reference :437-452) stays
+    outside: its parameter VALUES are closed over via `head_fn`, so they
+    are broadcast into the scan, not stacked."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    pre_norm: bool
+    nL: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, output, bias, srcs, poss, qpos, head_fn):
+        decs, membeds = [], []
+        for pos in range(self.nL):
+            output = CrossAttentionLayer(
+                self.d_model, self.nhead, self.pre_norm, dtype=self.dtype,
+                name=f"cross_attn_{pos}",
+            )(output, srcs[pos], bias, poss[pos], qpos)
+            output = SelfAttentionLayer(
+                self.d_model, self.nhead, self.pre_norm, dtype=self.dtype,
+                name=f"self_attn_{pos}",
+            )(output, qpos)
+            output = FFNLayer(
+                self.d_model, self.dim_feedforward, self.pre_norm,
+                dtype=self.dtype, name=f"ffn_{pos}",
+            )(output)
+            dec, membed, bias = head_fn(output, (pos + 1) % self.nL)
+            decs.append(dec)
+            membeds.append(membed)
+        return (output, bias), (jnp.stack(decs), jnp.stack(membeds))
+
+
 class MultiScaleMaskedTransformerDecoder(nn.Module):
     """Masked-attention decoder over 3 feature scales.
 
@@ -131,12 +217,33 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             pe = sine_position_embedding_2d(H, W, C // 2, dtype=self.dtype)
             poss.append(pe.reshape(1, H * W, C))
 
-        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
+        # Shared prediction-head params as explicit holders so their VALUES
+        # can be closed over by the rounds-scan body (checkpoint paths are
+        # unchanged: decoder_norm/{scale,bias}, mask_embed/layers_i/...,
+        # class_embed/...)
+        dn_scale, dn_bias = _LayerNormParams(C, name="decoder_norm")()
+        me_params = _MLPParams(
+            ((C, C), (C, C), (C, cfg.mask_dim)), name="mask_embed"
+        )()
         class_embed = nn.Dense(
             self.num_classes + 1, kernel_init=xavier_uniform,
             bias_init=nn.initializers.zeros, dtype=self.dtype, name="class_embed",
         )
-        mask_embed_mlp = MLP(C, cfg.mask_dim, 3, dtype=self.dtype, name="mask_embed")
+        _ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+
+        def decoder_norm(x):
+            return _ln.apply(
+                {"params": {"scale": dn_scale, "bias": dn_bias}}, x
+            )
+
+        def mask_embed_mlp(x):
+            for i, (k, b) in enumerate(me_params):
+                x = nn.Dense(k.shape[1], dtype=self.dtype).apply(
+                    {"params": {"kernel": k, "bias": b}}, x
+                )
+                if i < len(me_params) - 1:
+                    x = nn.relu(x)
+            return x
 
         mf = mask_features.astype(self.dtype)
         # mask features pre-resized to each attention resolution: the
@@ -148,11 +255,13 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         # prediction head (~4 GB of resize traffic per forward at 800^2)
         mf_lvl = [resize_bilinear(mf, h, w) for (h, w) in sizes]
 
-        def prediction_heads(output, lvl):
+        def head_fn(output, lvl):
+            """decoder_norm -> mask_embed -> next-layer attention bias
+            (reference :437-452). Returns (dec, membed, bias); per-layer
+            logits/masks are computed POST-scan from the stacked dec/membed
+            (one batched Dense / one batched einsum instead of 10)."""
             dec = decoder_norm(output)
-            logits = class_embed(dec)
             membed = mask_embed_mlp(dec)
-            masks = jnp.einsum("bqc,bhwc->bqhw", membed, mf)
             # attention bias for the next layer: block where interpolated
             # sigmoid < 0.5 (reference :446-450), detached; degenerate
             # all-blocked rows are fully unblocked (reference :400).
@@ -163,36 +272,69 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             blocked = jnp.where(all_blocked, False, blocked)
             bias = jnp.where(blocked, NEG_INF, 0.0)[:, None]  # (B,1,Q,HW)
             bias = jax.lax.stop_gradient(bias)
-            return logits, masks, bias
+            return dec, membed, bias
 
         output = jnp.broadcast_to(query_feat[None], (B, cfg.num_queries, C)).astype(self.dtype)
         qpos = jnp.broadcast_to(query_embed[None], (B, cfg.num_queries, C)).astype(self.dtype)
 
-        all_logits, all_masks = [], []
-        logits, masks, bias = prediction_heads(output, 0)
-        all_logits.append(logits)
-        all_masks.append(masks)
+        dec0, membed0, bias = head_fn(output, 0)
 
-        for i in range(cfg.dec_layers):
-            li = i % nL
-            output = CrossAttentionLayer(
-                C, heads, cfg.pre_norm, dtype=self.dtype,
-                name=f"cross_attn_{i}",
-            )(output, srcs[li], bias, poss[li], qpos)
-            output = SelfAttentionLayer(
-                C, heads, cfg.pre_norm, dtype=self.dtype, name=f"self_attn_{i}",
-            )(output, qpos)
-            output = FFNLayer(
-                C, cfg.dim_feedforward, cfg.pre_norm, dtype=self.dtype,
-                name=f"ffn_{i}",
-            )(output)
-            logits, masks, bias = prediction_heads(output, (i + 1) % nL)
-            all_logits.append(logits)
-            all_masks.append(masks)
+        if cfg.dec_layers % nL == 0:
+            # The reference's dec_layers (9) cycle the nL (3) feature levels
+            # (li = i % 3), so the decoder is dec_layers/nL structurally
+            # identical ROUNDS under one nn.scan — the round body compiles
+            # once instead of three times (round-5 cold-compile work).
+            n_rounds = cfg.dec_layers // nL
+            round_mod = _DecoderRound(
+                d_model=C, nhead=heads, dim_feedforward=cfg.dim_feedforward,
+                pre_norm=cfg.pre_norm, nL=nL, dtype=self.dtype,
+                name="rounds",
+            )
+
+            def body(mod, carry, _):
+                return mod(carry[0], carry[1], srcs, poss, qpos, head_fn)
+
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=n_rounds,
+            )
+            (output, bias), (decs, membeds) = scan(round_mod, (output, bias), None)
+            # (n_rounds, nL, B, Q, C) -> (dec_layers, B, Q, C)
+            decs = decs.reshape(cfg.dec_layers, B, cfg.num_queries, C)
+            membeds = membeds.reshape(
+                cfg.dec_layers, B, cfg.num_queries, cfg.mask_dim
+            )
+        else:  # non-multiple layer counts: plain unrolled loop
+            decs_l, membeds_l = [], []
+            for i in range(cfg.dec_layers):
+                li = i % nL
+                output = CrossAttentionLayer(
+                    C, heads, cfg.pre_norm, dtype=self.dtype,
+                    name=f"cross_attn_{i}",
+                )(output, srcs[li], bias, poss[li], qpos)
+                output = SelfAttentionLayer(
+                    C, heads, cfg.pre_norm, dtype=self.dtype, name=f"self_attn_{i}",
+                )(output, qpos)
+                output = FFNLayer(
+                    C, cfg.dim_feedforward, cfg.pre_norm, dtype=self.dtype,
+                    name=f"ffn_{i}",
+                )(output)
+                dec, membed, bias = head_fn(output, (i + 1) % nL)
+                decs_l.append(dec)
+                membeds_l.append(membed)
+            decs = jnp.stack(decs_l)
+            membeds = jnp.stack(membeds_l)
+
+        decs = jnp.concatenate([dec0[None], decs], axis=0)  # (L+1, B, Q, C)
+        membeds = jnp.concatenate([membed0[None], membeds], axis=0)
+        all_logits = class_embed(decs)  # (L+1, B, Q, K+1)
+        all_masks = jnp.einsum("lbqc,bhwc->lbqhw", membeds, mf)
 
         return {
             "pred_logits": all_logits[-1].astype(jnp.float32),
             "pred_masks": all_masks[-1].astype(jnp.float32),
-            "aux_logits": jnp.stack(all_logits[:-1]).astype(jnp.float32),
-            "aux_masks": jnp.stack(all_masks[:-1]).astype(jnp.float32),
+            "aux_logits": all_logits[:-1].astype(jnp.float32),
+            "aux_masks": all_masks[:-1].astype(jnp.float32),
         }

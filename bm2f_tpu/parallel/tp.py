@@ -77,21 +77,38 @@ def partition_spec(path, leaf, model_size: int) -> P:
     name = names[-1]
     mod = names[-2] if len(names) >= 2 else ""
 
+    # nn.scan-stacked layers (encoder_layers, decoder rounds, Swin stage
+    # blocks) carry a LEADING layer axis: the same rules apply one dim to
+    # the right, with the layer axis replicated.
+    stacked = 1 if len(shape) == 3 and name in ("kernel", "in_proj_weight") \
+        else 0
+
     # torch-layout packed attention: in_proj_weight (C, 3C) / in_proj_bias (3C,)
-    if name == "in_proj_weight" and len(shape) == 2:
-        return P(None, "model") if shape[1] % model_size == 0 else P()
-    if name == "in_proj_bias" and len(shape) == 1:
-        return P("model") if shape[0] % model_size == 0 else P()
+    if name == "in_proj_weight" and len(shape) == 2 + stacked:
+        return (
+            P(*([None] * (1 + stacked)), "model")
+            if shape[1 + stacked] % model_size == 0 else P()
+        )
+    if name == "in_proj_bias":
+        if len(shape) == 1 and shape[0] % model_size == 0:
+            return P("model")
+        if len(shape) == 2 and shape[1] % model_size == 0:  # stacked
+            return P(None, "model")
+        return P()
 
     if mod in _COL_MODULES:
-        if name == "kernel" and len(shape) == 2 and shape[1] % model_size == 0:
-            return P(None, "model")
+        if (name == "kernel" and len(shape) == 2 + stacked
+                and shape[1 + stacked] % model_size == 0):
+            return P(*([None] * (1 + stacked)), "model")
         if name == "bias" and len(shape) == 1 and shape[0] % model_size == 0:
             return P("model")
+        if name == "bias" and len(shape) == 2 and shape[1] % model_size == 0:
+            return P(None, "model")  # stacked bias
         return P()
     if mod in _ROW_MODULES:
-        if name == "kernel" and len(shape) == 2 and shape[0] % model_size == 0:
-            return P("model", None)
+        if (name == "kernel" and len(shape) == 2 + stacked
+                and shape[stacked] % model_size == 0):
+            return P(*([None] * stacked), "model", None)
         return P()
     return P()
 

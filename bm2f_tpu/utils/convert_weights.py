@@ -101,21 +101,48 @@ def convert_swin(sd: Dict, params: Dict, depths: Tuple[int, ...]):
     _set(params, "backbone/patch_embed_proj/bias", sd[f"{pre}.patch_embed.proj.bias"])
     if f"{pre}.patch_embed.norm.weight" in sd:
         ln(f"{pre}.patch_embed.norm", "backbone/patch_embed_norm")
+    def _block_tree(src):
+        """One reference block -> our SwinBlock param dict (flat paths)."""
+        out = {}
+        out["norm1/scale"] = sd[f"{src}.norm1.weight"]
+        out["norm1/bias"] = sd[f"{src}.norm1.bias"]
+        out["norm2/scale"] = sd[f"{src}.norm2.weight"]
+        out["norm2/bias"] = sd[f"{src}.norm2.bias"]
+        out["attn/qkv/kernel"] = _lin(sd[f"{src}.attn.qkv.weight"])
+        if f"{src}.attn.qkv.bias" in sd:
+            out["attn/qkv/bias"] = sd[f"{src}.attn.qkv.bias"]
+        out["attn/proj/kernel"] = _lin(sd[f"{src}.attn.proj.weight"])
+        out["attn/proj/bias"] = sd[f"{src}.attn.proj.bias"]
+        out["attn/relative_position_bias_table"] = sd[
+            f"{src}.attn.relative_position_bias_table"
+        ]
+        out["mlp_fc1/kernel"] = _lin(sd[f"{src}.mlp.fc1.weight"])
+        out["mlp_fc1/bias"] = sd[f"{src}.mlp.fc1.bias"]
+        out["mlp_fc2/kernel"] = _lin(sd[f"{src}.mlp.fc2.weight"])
+        out["mlp_fc2/bias"] = sd[f"{src}.mlp.fc2.bias"]
+        return out
+
     for s, depth in enumerate(depths):
-        for b in range(depth):
-            src = f"{pre}.layers.{s}.blocks.{b}"
-            dst = f"backbone/stage{s}_block{b}"
-            ln(f"{src}.norm1", f"{dst}/norm1")
-            ln(f"{src}.norm2", f"{dst}/norm2")
-            lin(f"{src}.attn.qkv", f"{dst}/attn/qkv")
-            lin(f"{src}.attn.proj", f"{dst}/attn/proj")
-            _set(
-                params,
-                f"{dst}/attn/relative_position_bias_table",
-                sd[f"{src}.attn.relative_position_bias_table"],
-            )
-            lin(f"{src}.mlp.fc1", f"{dst}/mlp_fc1")
-            lin(f"{src}.mlp.fc2", f"{dst}/mlp_fc2")
+        if depth % 2 == 0:
+            # stage scan: stacked (depth/2, ...) params under
+            # stage{s}_pairs/block{0,1} (block0 <- even blocks, block1 <- odd)
+            for pos in (0, 1):
+                trees = [
+                    _block_tree(f"{pre}.layers.{s}.blocks.{2 * p + pos}")
+                    for p in range(depth // 2)
+                ]
+                for key in trees[0]:
+                    _set(
+                        params,
+                        f"backbone/stage{s}_pairs/block{pos}/{key}",
+                        np.stack([t[key] for t in trees]),
+                    )
+        else:
+            for b in range(depth):
+                src = f"{pre}.layers.{s}.blocks.{b}"
+                dst = f"backbone/stage{s}_block{b}"
+                for key, val in _block_tree(src).items():
+                    _set(params, f"{dst}/{key}", val)
         if f"{pre}.layers.{s}.downsample.reduction.weight" in sd:
             lin(f"{pre}.layers.{s}.downsample.reduction",
                 f"backbone/downsample{s}/reduction", bias=False)
@@ -138,18 +165,28 @@ def convert_pixel_decoder(sd: Dict, params: Dict, enc_layers: int = 6,
 
     _set(params, f"{p}/level_embed", sd[f"{pre}.transformer.level_embed"])
 
-    for i in range(enc_layers):
-        src = f"{pre}.transformer.encoder.layers.{i}"
-        dst = f"{p}/encoder_layer_{i}"
-        for m in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
-            _set(params, f"{dst}/self_attn/{m}/kernel", _lin(sd[f"{src}.self_attn.{m}.weight"]))
-            _set(params, f"{dst}/self_attn/{m}/bias", sd[f"{src}.self_attn.{m}.bias"])
-        for m in ("linear1", "linear2"):
-            _set(params, f"{dst}/{m}/kernel", _lin(sd[f"{src}.{m}.weight"]))
-            _set(params, f"{dst}/{m}/bias", sd[f"{src}.{m}.bias"])
-        for m in ("norm1", "norm2"):
-            _set(params, f"{dst}/{m}/scale", sd[f"{src}.{m}.weight"])
-            _set(params, f"{dst}/{m}/bias", sd[f"{src}.{m}.bias"])
+    # encoder layers are a single nn.scan module with STACKED params
+    # (leading axis = layer) — stack the reference's per-layer tensors
+    def stack_enc(fn):
+        return np.stack([fn(f"{pre}.transformer.encoder.layers.{i}")
+                         for i in range(enc_layers)])
+
+    dst = f"{p}/encoder_layers"
+    for m in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
+        _set(params, f"{dst}/self_attn/{m}/kernel",
+             stack_enc(lambda s, m=m: _lin(sd[f"{s}.self_attn.{m}.weight"])))
+        _set(params, f"{dst}/self_attn/{m}/bias",
+             stack_enc(lambda s, m=m: sd[f"{s}.self_attn.{m}.bias"]))
+    for m in ("linear1", "linear2"):
+        _set(params, f"{dst}/{m}/kernel",
+             stack_enc(lambda s, m=m: _lin(sd[f"{s}.{m}.weight"])))
+        _set(params, f"{dst}/{m}/bias",
+             stack_enc(lambda s, m=m: sd[f"{s}.{m}.bias"]))
+    for m in ("norm1", "norm2"):
+        _set(params, f"{dst}/{m}/scale",
+             stack_enc(lambda s, m=m: sd[f"{s}.{m}.weight"]))
+        _set(params, f"{dst}/{m}/bias",
+             stack_enc(lambda s, m=m: sd[f"{s}.{m}.bias"]))
 
     _set(params, f"{p}/mask_features/kernel", _conv(sd[f"{pre}.mask_features.weight"]))
     _set(params, f"{p}/mask_features/bias", sd[f"{pre}.mask_features.bias"])
@@ -185,34 +222,55 @@ def convert_predictor(sd: Dict, params: Dict, dec_layers: int = 9):
         _set(params, f"{p}/mask_embed/layers_{i}/bias",
              sd[f"{pre}.mask_embed.layers.{i}.bias"])
 
-    def mha(src, dst):
-        _set(params, f"{dst}/in_proj_weight", _lin(sd[f"{src}.in_proj_weight"]))
-        _set(params, f"{dst}/in_proj_bias", sd[f"{src}.in_proj_bias"])
-        _set(params, f"{dst}/out_proj/kernel", _lin(sd[f"{src}.out_proj.weight"]))
-        _set(params, f"{dst}/out_proj/bias", sd[f"{src}.out_proj.bias"])
+    def _mha_tree(src):
+        return {
+            "in_proj_weight": _lin(sd[f"{src}.in_proj_weight"]),
+            "in_proj_bias": sd[f"{src}.in_proj_bias"],
+            "out_proj/kernel": _lin(sd[f"{src}.out_proj.weight"]),
+            "out_proj/bias": sd[f"{src}.out_proj.bias"],
+        }
 
-    for i in range(dec_layers):
-        mha(f"{pre}.transformer_cross_attention_layers.{i}.multihead_attn",
-            f"{p}/cross_attn_{i}/multihead_attn")
-        _set(params, f"{p}/cross_attn_{i}/norm/scale",
-             sd[f"{pre}.transformer_cross_attention_layers.{i}.norm.weight"])
-        _set(params, f"{p}/cross_attn_{i}/norm/bias",
-             sd[f"{pre}.transformer_cross_attention_layers.{i}.norm.bias"])
-        mha(f"{pre}.transformer_self_attention_layers.{i}.self_attn",
-            f"{p}/self_attn_{i}/self_attn")
-        _set(params, f"{p}/self_attn_{i}/norm/scale",
-             sd[f"{pre}.transformer_self_attention_layers.{i}.norm.weight"])
-        _set(params, f"{p}/self_attn_{i}/norm/bias",
-             sd[f"{pre}.transformer_self_attention_layers.{i}.norm.bias"])
+    def _layer_tree(i):
+        """Reference decoder layer i -> {cross_attn, self_attn, ffn} dicts."""
+        ca = f"{pre}.transformer_cross_attention_layers.{i}"
+        sa = f"{pre}.transformer_self_attention_layers.{i}"
+        ff = f"{pre}.transformer_ffn_layers.{i}"
+        out = {}
+        for k, v in _mha_tree(f"{ca}.multihead_attn").items():
+            out[f"cross/multihead_attn/{k}"] = v
+        out["cross/norm/scale"] = sd[f"{ca}.norm.weight"]
+        out["cross/norm/bias"] = sd[f"{ca}.norm.bias"]
+        for k, v in _mha_tree(f"{sa}.self_attn").items():
+            out[f"self/self_attn/{k}"] = v
+        out["self/norm/scale"] = sd[f"{sa}.norm.weight"]
+        out["self/norm/bias"] = sd[f"{sa}.norm.bias"]
         for m in ("linear1", "linear2"):
-            _set(params, f"{p}/ffn_{i}/{m}/kernel",
-                 _lin(sd[f"{pre}.transformer_ffn_layers.{i}.{m}.weight"]))
-            _set(params, f"{p}/ffn_{i}/{m}/bias",
-                 sd[f"{pre}.transformer_ffn_layers.{i}.{m}.bias"])
-        _set(params, f"{p}/ffn_{i}/norm/scale",
-             sd[f"{pre}.transformer_ffn_layers.{i}.norm.weight"])
-        _set(params, f"{p}/ffn_{i}/norm/bias",
-             sd[f"{pre}.transformer_ffn_layers.{i}.norm.bias"])
+            out[f"ffn/{m}/kernel"] = _lin(sd[f"{ff}.{m}.weight"])
+            out[f"ffn/{m}/bias"] = sd[f"{ff}.{m}.bias"]
+        out["ffn/norm/scale"] = sd[f"{ff}.norm.weight"]
+        out["ffn/norm/bias"] = sd[f"{ff}.norm.bias"]
+        return out
+
+    n_levels = 3
+    if dec_layers % n_levels == 0:
+        # rounds-scan layout: layer i -> round r = i//3 (stacked leading
+        # axis), sublayer position pos = i%3 (cross_attn_{pos}, ...)
+        n_rounds = dec_layers // n_levels
+        for pos in range(n_levels):
+            trees = [_layer_tree(n_levels * r + pos) for r in range(n_rounds)]
+            for key in trees[0]:
+                sub, rest = key.split("/", 1)
+                mod = {"cross": f"cross_attn_{pos}", "self": f"self_attn_{pos}",
+                       "ffn": f"ffn_{pos}"}[sub]
+                _set(params, f"{p}/rounds/{mod}/{rest}",
+                     np.stack([t[key] for t in trees]))
+    else:  # unrolled fallback layout
+        for i in range(dec_layers):
+            for key, v in _layer_tree(i).items():
+                sub, rest = key.split("/", 1)
+                mod = {"cross": f"cross_attn_{i}", "self": f"self_attn_{i}",
+                       "ffn": f"ffn_{i}"}[sub]
+                _set(params, f"{p}/{mod}/{rest}", v)
 
 
 def convert_checkpoint(

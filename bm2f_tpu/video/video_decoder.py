@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bm2f_tpu.config import DecoderConfig
-from bm2f_tpu.models.layers import MLP, xavier_uniform
+from bm2f_tpu.models.layers import xavier_uniform
 from bm2f_tpu.models.position_encoding import (
     sine_position_embedding_3d,
     sine_position_embedding_3d_masked,
@@ -24,6 +24,9 @@ from bm2f_tpu.models.transformer_decoder import (
     CrossAttentionLayer,
     FFNLayer,
     SelfAttentionLayer,
+    _DecoderRound,
+    _LayerNormParams,
+    _MLPParams,
 )
 from bm2f_tpu.ops import resize_bilinear
 
@@ -81,12 +84,31 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
                     frame_valid, H, W, C // 2, dtype=self.dtype)
                 poss.append(pe.reshape(B, T * H * W, C))
 
-        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
+        # shared head params as explicit holders (values closed over by the
+        # rounds-scan body; checkpoint paths unchanged — see the image
+        # decoder, models/transformer_decoder.py)
+        dn_scale, dn_bias = _LayerNormParams(C, name="decoder_norm")()
+        me_params = _MLPParams(
+            ((C, C), (C, C), (C, cfg.mask_dim)), name="mask_embed"
+        )()
         class_embed = nn.Dense(
             self.num_classes + 1, kernel_init=xavier_uniform,
             bias_init=nn.initializers.zeros, dtype=self.dtype, name="class_embed",
         )
-        mask_embed_mlp = MLP(C, cfg.mask_dim, 3, dtype=self.dtype, name="mask_embed")
+        _ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+
+        def decoder_norm(x):
+            return _ln.apply({"params": {"scale": dn_scale, "bias": dn_bias}}, x)
+
+        def mask_embed_mlp(x):
+            for i, (k, b) in enumerate(me_params):
+                x = nn.Dense(k.shape[1], dtype=self.dtype).apply(
+                    {"params": {"kernel": k, "bias": b}}, x
+                )
+                if i < len(me_params) - 1:
+                    x = nn.relu(x)
+            return x
+
         mf = mask_features.astype(self.dtype)
         # per-level pre-resized mask features: bilinear resize commutes with
         # the channel contraction (see the image decoder), so the attention
@@ -94,11 +116,13 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
         # (B, Q, T, h4, w4) mask tensor at every prediction head
         mf_lvl = [resize_bilinear(mf, h, w) for (h, w) in sizes]
 
-        def prediction_heads(output, attn_size, lvl):
+        def head_fn(output, lvl):
+            """decoder_norm -> mask_embed -> next-layer attention bias;
+            returns (dec, membed, bias). Per-layer logits/masks are computed
+            POST-scan from the stacked dec/membed (see the image decoder)."""
+            attn_size = sizes[lvl]
             dec = decoder_norm(output)
-            logits = class_embed(dec)
             membed = mask_embed_mlp(dec)
-            masks = jnp.einsum("bqc,bthwc->bqthw", membed, mf)
             am = jnp.einsum("bqc,bthwc->bqthw", membed, mf_lvl[lvl]).reshape(
                 B, cfg.num_queries, T * attn_size[0] * attn_size[1])
             blocked = jax.nn.sigmoid(am.astype(jnp.float32)) < 0.5
@@ -117,7 +141,7 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
             bias = jax.lax.stop_gradient(
                 jnp.where(blocked, NEG_INF, 0.0)[:, None]
             )
-            return logits, masks, bias
+            return dec, membed, bias
 
         output = jnp.broadcast_to(
             query_feat[None], (B, cfg.num_queries, C)
@@ -126,33 +150,65 @@ class VideoMultiScaleMaskedTransformerDecoder(nn.Module):
             query_embed[None], (B, cfg.num_queries, C)
         ).astype(self.dtype)
 
-        all_logits, all_masks = [], []
-        logits, masks, bias = prediction_heads(output, sizes[0], 0)
-        all_logits.append(logits)
-        all_masks.append(masks)
+        dec0, membed0, bias = head_fn(output, 0)
 
-        for i in range(cfg.dec_layers):
-            li = i % nL
-            output = CrossAttentionLayer(
-                C, cfg.nheads, cfg.pre_norm, dtype=self.dtype,
-                name=f"cross_attn_{i}",
-            )(output, srcs[li], bias, poss[li], qpos)
-            output = SelfAttentionLayer(
-                C, cfg.nheads, cfg.pre_norm, dtype=self.dtype,
-                name=f"self_attn_{i}",
-            )(output, qpos)
-            output = FFNLayer(
-                C, cfg.dim_feedforward, cfg.pre_norm, dtype=self.dtype,
-                name=f"ffn_{i}",
-            )(output)
-            logits, masks, bias = prediction_heads(
-                output, sizes[(i + 1) % nL], (i + 1) % nL)
-            all_logits.append(logits)
-            all_masks.append(masks)
+        if cfg.dec_layers % nL == 0:
+            # rounds-scan over dec_layers/nL structurally identical rounds
+            # (shared _DecoderRound with the image decoder)
+            n_rounds = cfg.dec_layers // nL
+            round_mod = _DecoderRound(
+                d_model=C, nhead=cfg.nheads,
+                dim_feedforward=cfg.dim_feedforward,
+                pre_norm=cfg.pre_norm, nL=nL, dtype=self.dtype,
+                name="rounds",
+            )
+
+            def body(mod, carry, _):
+                return mod(carry[0], carry[1], srcs, poss, qpos, head_fn)
+
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=n_rounds,
+            )
+            (output, bias), (decs, membeds) = scan(
+                round_mod, (output, bias), None
+            )
+            decs = decs.reshape(cfg.dec_layers, B, cfg.num_queries, C)
+            membeds = membeds.reshape(
+                cfg.dec_layers, B, cfg.num_queries, cfg.mask_dim
+            )
+        else:  # non-multiple layer counts: plain unrolled loop
+            decs_l, membeds_l = [], []
+            for i in range(cfg.dec_layers):
+                li = i % nL
+                output = CrossAttentionLayer(
+                    C, cfg.nheads, cfg.pre_norm, dtype=self.dtype,
+                    name=f"cross_attn_{i}",
+                )(output, srcs[li], bias, poss[li], qpos)
+                output = SelfAttentionLayer(
+                    C, cfg.nheads, cfg.pre_norm, dtype=self.dtype,
+                    name=f"self_attn_{i}",
+                )(output, qpos)
+                output = FFNLayer(
+                    C, cfg.dim_feedforward, cfg.pre_norm, dtype=self.dtype,
+                    name=f"ffn_{i}",
+                )(output)
+                dec, membed, bias = head_fn(output, (i + 1) % nL)
+                decs_l.append(dec)
+                membeds_l.append(membed)
+            decs = jnp.stack(decs_l)
+            membeds = jnp.stack(membeds_l)
+
+        decs = jnp.concatenate([dec0[None], decs], axis=0)
+        membeds = jnp.concatenate([membed0[None], membeds], axis=0)
+        all_logits = class_embed(decs)  # (L+1, B, Q, K+1)
+        all_masks = jnp.einsum("lbqc,bthwc->lbqthw", membeds, mf)
 
         return {
             "pred_logits": all_logits[-1].astype(jnp.float32),
             "pred_masks": all_masks[-1].astype(jnp.float32),
-            "aux_logits": jnp.stack(all_logits[:-1]).astype(jnp.float32),
-            "aux_masks": jnp.stack(all_masks[:-1]).astype(jnp.float32),
+            "aux_logits": all_logits[:-1].astype(jnp.float32),
+            "aux_masks": all_masks[:-1].astype(jnp.float32),
         }

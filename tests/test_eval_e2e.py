@@ -413,3 +413,169 @@ def test_zoo_parity_runner_gate():
                            expected={"AP": 43.7}, tolerance=1000.0,
                            do_assert=False, cfg_overrides=over)
     assert ok2
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip_matches_oracle_eval(tmp_path):
+    """VERDICT r4 item 8: close the converter -> orbax checkpoint -> e2e
+    eval loop, which golden ACTIVATION tests don't cover.
+
+    A torch-oracle-initialized checkpoint (reference naming) is converted,
+    evaluated end-to-end, saved through the production orbax Checkpointer,
+    restored, and evaluated again. GT is DERIVED from the oracle's own
+    top predictions so the AP is high and meaningful — a broken converter,
+    save, or restore scores ~0 (the zoo-parity failure mode) instead of
+    comparing zeros against zeros. Asserts:
+      1. converted-model eval matches the oracle's eval (same host
+         protocol, model forward torch vs JAX) within 2e-3 AP;
+      2. the orbax save -> restore round trip is BIT-exact and its eval
+         metrics are identical.
+
+    Reference analogue: train_net.py:305-321 (resume_or_load + eval-only)
+    with verify_results (train_net.py:317).
+    """
+    import jax.numpy as jnp
+    import torch
+
+    from eval import eval_instance
+    from bm2f_tpu.data.mask_ops import rle_encode, segmentation_to_mask
+    from bm2f_tpu.evaluation.coco_eval import COCOMaskAPEvaluator
+    from bm2f_tpu.models import build_model
+    from bm2f_tpu.models.maskformer import instance_topk_select
+    from bm2f_tpu.train.checkpoint import Checkpointer
+    from bm2f_tpu.utils.convert_weights import convert_checkpoint
+    from tests.torch_oracle import (
+        make_r50_m2f_state_dict,
+        torch_mask2former_forward,
+    )
+
+    S, N_IMG, K = 96, 2, 80
+    rng = np.random.RandomState(11)
+    sd = make_r50_m2f_state_dict(rng, K, 100)
+    images = (rng.rand(N_IMG, S, S, 3) * 255).astype(np.float32)
+
+    cfg = get_config("coco_instance_r50", {
+        "model.dtype": "float32", "model.pixel_decoder_f32": True,
+    })
+    mean = np.asarray(cfg.model.pixel_mean, np.float32)
+    std = np.asarray(cfg.model.pixel_std, np.float32)
+
+    # --- oracle forward on exactly the pixels the eval loader produces
+    # (square S x S images + short_edge=max_size=bucket=S -> identity
+    # resize, no padding)
+    normed = (images - mean) / std
+    with torch.no_grad():
+        ref = torch_mask2former_forward(
+            sd, torch.from_numpy(normed.transpose(0, 3, 1, 2)), K, 100)
+    ref_logits = np.asarray(ref["pred_logits"], np.float32)
+    ref_masks_t = torch.nn.functional.interpolate(
+        torch.as_tensor(np.asarray(ref["pred_masks"], np.float32)),
+        size=(S, S), mode="bilinear", align_corners=False)
+    ref_masks = ref_masks_t.numpy()
+
+    # --- GT := the oracle's own most confident predictions
+    def host_select(logits, masks_full):
+        scores, labels, sel = jax.jit(
+            lambda c, m: instance_topk_select(
+                c, m, num_classes=K, topk=100)
+        )(jnp.asarray(logits), jnp.asarray(masks_full))
+        return np.asarray(scores), np.asarray(labels), np.asarray(sel)
+
+    dicts = []
+    oracle_preds = []
+    for i in range(N_IMG):
+        scores, labels, sel = host_select(ref_logits[i], ref_masks[i])
+        binary = sel > 0
+        prob = 1.0 / (1.0 + np.exp(-sel))
+        area = binary.reshape(len(binary), -1).sum(-1)
+        mask_scores = (prob * binary).reshape(len(binary), -1).sum(-1) / (
+            area + 1e-6)
+        final_scores = scores * mask_scores
+        oracle_preds.append({
+            "scores": final_scores, "labels": labels, "masks": binary,
+            "valid": np.ones(len(binary), bool),
+        })
+        anns = []
+        order = np.argsort(-final_scores)
+        seen = np.zeros((S, S), bool)
+        for j in order:
+            m = binary[j]
+            if m.sum() < 40 or len(anns) >= 4:
+                continue
+            if (m & seen).sum() > 0.3 * m.sum():  # keep GT non-overlapping-ish
+                continue
+            seen |= m
+            anns.append({
+                "bbox": [0, 0, 1, 1],
+                "category_id": int(labels[j]),
+                "segmentation": rle_encode(m),
+                "iscrowd": 0,
+            })
+        assert anns, "oracle produced no usable GT masks"
+        dicts.append({"image": images[i].astype(np.uint8), "height": S,
+                      "width": S, "image_id": i, "annotations": anns})
+
+    # NOTE: GT built from uint8-cast images' predictions? No — GT comes from
+    # the float images' forward; the dataset stores uint8 pixels, so the
+    # eval-path forward sees slightly different pixels than the GT-building
+    # forward. Rebuild the oracle outputs from the UINT8 pixels so both
+    # sides (oracle eval and converted-model eval) consume identical input.
+    images_u8 = np.stack([d["image"] for d in dicts]).astype(np.float32)
+    normed = (images_u8 - mean) / std
+    with torch.no_grad():
+        ref = torch_mask2former_forward(
+            sd, torch.from_numpy(normed.transpose(0, 3, 1, 2)), K, 100)
+    ref_logits = np.asarray(ref["pred_logits"], np.float32)
+    ref_masks = torch.nn.functional.interpolate(
+        torch.as_tensor(np.asarray(ref["pred_masks"], np.float32)),
+        size=(S, S), mode="bilinear", align_corners=False).numpy()
+
+    # --- oracle-side eval through the SAME host protocol/evaluator
+    ev = COCOMaskAPEvaluator(K)
+    for i, dd in enumerate(dicts):
+        scores, labels, sel = host_select(ref_logits[i], ref_masks[i])
+        binary = sel > 0
+        prob = 1.0 / (1.0 + np.exp(-sel))
+        area = binary.reshape(len(binary), -1).sum(-1)
+        mask_scores = (prob * binary).reshape(len(binary), -1).sum(-1) / (
+            area + 1e-6)
+        inst = {"scores": scores * mask_scores, "labels": labels,
+                "masks": binary, "valid": np.ones(len(binary), bool)}
+        gt = {
+            "labels": np.asarray(
+                [a["category_id"] for a in dd["annotations"]], np.int64),
+            "masks": np.stack([
+                segmentation_to_mask(a["segmentation"], S, S)
+                for a in dd["annotations"]]),
+            "iscrowd": np.zeros(len(dd["annotations"]), bool),
+        }
+        ev.process(inst, gt)
+    res_oracle = ev.evaluate()
+    assert res_oracle["AP"] > 0.5, res_oracle  # GT from own preds => high AP
+
+    # --- converted model, e2e eval through the production path
+    name = "bm2f_roundtrip_synth"
+    if name in DatasetCatalog:
+        DatasetCatalog.remove(name)
+    DatasetCatalog.register(name, lambda: dicts)
+
+    model = build_model(cfg)
+    variables = convert_checkpoint(sd)
+    res_a = eval_instance(cfg, model, variables, name, short_edge=S,
+                          max_size=S, bucket=(S,))
+    assert abs(res_a["AP"] - res_oracle["AP"]) < 2e-3, (res_a, res_oracle)
+
+    # --- FULL orbax save -> restore round trip
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(0, variables, force=True)
+    template = jax.tree.map(np.zeros_like, variables)
+    restored = ckpt.restore(template)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(variables)[0],
+        jax.tree_util.tree_flatten_with_path(restored)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    res_b = eval_instance(cfg, model, restored, name, short_edge=S,
+                          max_size=S, bucket=(S,))
+    assert res_b == res_a, (res_b, res_a)

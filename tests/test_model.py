@@ -69,7 +69,8 @@ def test_grads_flow(model_and_vars):
     flat = jax.tree.leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     # deep supervision means every decoder layer gets gradient
-    g = grads["sem_seg_head"]["predictor"]["cross_attn_0"]["multihead_attn"]
+    g = grads["sem_seg_head"]["predictor"]["rounds"]["cross_attn_0"][
+        "multihead_attn"]
     assert np.abs(np.asarray(g["in_proj_weight"])).sum() > 0
 
 

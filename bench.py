@@ -79,7 +79,7 @@ INIT_MARKER = "# backend up"
 # overall soft deadline for the METRICS, counted from the end of preflight
 # (VERDICT r4: a slow preflight used to eat the metric budgets); a hard
 # total cap still bounds the whole run under the driver's external timeout
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1260"))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1380"))
 HARD_TOTAL_S = float(os.environ.get("BENCH_HARD_TOTAL_S", "1500"))
 
 # v5e peak numbers for the hardware-grounded utilization fields
@@ -98,14 +98,19 @@ V5E_HBM_BYTES_S = 819e9
 # Budgets sized to the round-5 scan-ified graphs' COLD costs measured on
 # the chip (tools/compile_timer.py): headline lower 3.6 s + compile 13 s
 # (was ~7 min unrolled); train lower ~300 s (AD tracing, the remaining
-# cost) + compile 65-124 s (was ~23 min) + run — fits 600 s cold with
-# margin. No keep-warm process, no server-cache dependence.
+# local cost) + compile 65-124 s (was ~23 min) + run. Server-side compile
+# latency is VARIABLE (the same headline HLO compiled in 13 s at 12:21 and
+# ~5.5 min at 12:57 on 2026-08-20, ~18 s of local CPU either way), so caps
+# carry headroom; they only bind when the server is slow, and the
+# post-preflight deadline cuts late metrics rather than letting one slow
+# compile starve everything. No keep-warm process, no server-cache
+# dependence.
 METRICS = [
     ("train", 600.0),
-    ("headline", 300.0),
-    ("swinl", 420.0),
-    ("p50", 240.0),
-    ("video", 300.0),
+    ("headline", 420.0),
+    ("swinl", 480.0),
+    ("p50", 300.0),
+    ("video", 360.0),
 ]
 
 
@@ -148,6 +153,18 @@ def _emit_error(metric, error):
 # metric bodies (run inside the per-metric subprocess)
 # ---------------------------------------------------------------------------
 
+# --prewarm mode: build + lower + compile the metric's graph, print the
+# marker, and exit WITHOUT running the timed loop. main() launches all
+# prewarm children CONCURRENTLY after preflight so the server-side compiles
+# overlap (they are remote; the local cost is only tracing), then runs the
+# timed metrics sequentially against a warm server cache. Measured need:
+# the same HLO compiled in 13 s..5.5 min depending on server load, and
+# cache entries evict within tens of minutes, so sequential children can
+# pay the full compile 5x while parallel ones pay ~max once.
+PREWARM = False
+PREWARM_MARKER = "# prewarmed"
+
+
 def _fwd_bench(cfg_name, B, H, W, iters, overrides=None,
                per_iter_sync=False):
     """Forward throughput with data-dependent chaining (the axon runtime
@@ -167,8 +184,13 @@ def _fwd_bench(cfg_name, B, H, W, iters, overrides=None,
     model = build_model(cfg)
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255)
+    # init with a TINY sample: param shapes are image-size independent, and
+    # a full-resolution init would cost a second multi-minute server-side
+    # compile the benchmark never uses (found via the 44 s _value block in
+    # the round-5 lowering profile — the init graph's async compile+run is
+    # what the first host sync actually waits for)
     variables = model.init(jax.random.PRNGKey(0),
-                           normalize_images(images[:1], cfg.model))
+                           normalize_images(images[:1, :64, :64], cfg.model))
 
     # params as jit ARGUMENTS, not closure constants: closed-over arrays are
     # embedded in the serialized HLO, and Swin-L's ~200M params overflow the
@@ -182,6 +204,9 @@ def _fwd_bench(cfg_name, B, H, W, iters, overrides=None,
     # cost_analysis for the MFU / HBM-utilization fields
     shift = jnp.float32(0.0)
     compiled = fwd.lower(variables, images, shift).compile()
+    if PREWARM:
+        print(PREWARM_MARKER, flush=True)
+        return None, None, None
     flops, nbytes = _cost_analysis(compiled)
 
     # warmup MUST sync by pulling a scalar: block_until_ready is a no-op on
@@ -231,12 +256,18 @@ def bench_train():
         "masks": jnp.asarray((rng.rand(B, G, H, W) > 0.8).astype(np.float32)),
         "valid": jnp.asarray(np.ones((B, G), bool)),
     }
-    state = trainer.init_state(jax.random.PRNGKey(0), batch["images"][:1])
+    # tiny init sample: param shapes don't depend on image size, and a
+    # 1024^2 init graph would cost its own multi-minute server compile
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               batch["images"][:1, :64, :64])
     step_fn = trainer.compile_step(state)
     with trainer.mesh:
         batch = shard_batch(batch, trainer.mesh)
         state = trainer.shard_state(state)
         compiled = step_fn.lower(state, batch).compile()
+        if PREWARM:
+            print(PREWARM_MARKER, flush=True)
+            return None, None
         flops, nbytes = _cost_analysis(compiled)
         state, metrics = compiled(state, batch)  # first run
         float(metrics["total_loss"])
@@ -261,15 +292,21 @@ def run_metric(name):
     if name == "headline":
         img_per_s, _, util = _fwd_bench("coco_instance_r50", 4, 800, 800,
                                         iters=20)
+        if PREWARM:
+            return
         _emit("forward images/sec/chip (R50, 800x800, bf16)", img_per_s,
               "img/s", img_per_s / A100_ESTIMATE_IMG_PER_S, **util)
     elif name == "train":
         s_per_it, util = bench_train()
+        if PREWARM:
+            return
         _emit("train s/it (R50, 1024x1024, B=2, JV matcher)", s_per_it,
               "s/it", ROUND1_TRAIN_S_PER_IT / s_per_it, **util)
     elif name == "swinl":
         swinl, _, util = _fwd_bench("coco_panoptic_swin_l", 2, 800, 800,
                                     iters=10)
+        if PREWARM:
+            return
         _emit("forward images/sec/chip (Swin-L 200q, 800x800, bf16)", swinl,
               "img/s", swinl / A100_ESTIMATE_SWINL_IMG_PER_S, **util)
     elif name == "p50":
@@ -282,6 +319,8 @@ def run_metric(name):
         # is the honest upper bound).
         _, times, _util = _fwd_bench("coco_instance_r50", 1, 800, 800,
                                      iters=20, per_iter_sync=True)
+        if PREWARM:
+            return
         import jax.numpy as jnp
         x = jnp.float32(1.0)
         null = []
@@ -318,7 +357,7 @@ def run_metric(name):
         images = jnp.asarray(rng.rand(B, T, H, W, 3).astype(np.float32) * 255)
         variables = model.init(
             jax.random.PRNGKey(0),
-            normalize_images(images[:, :2], cfg.model))
+            normalize_images(images[:, :2, :64, :64], cfg.model))
 
         @jax.jit
         def fwd(variables, images, shift):
@@ -328,6 +367,9 @@ def run_metric(name):
 
         shift = jnp.float32(0.0)
         compiled = fwd.lower(variables, images, shift).compile()
+        if PREWARM:
+            print(PREWARM_MARKER, flush=True)
+            return
         flops, nbytes = _cost_analysis(compiled)
         logits, _ = compiled(variables, images, shift)
         shift = logits[0, 0, 0].astype(jnp.float32) * 1e-6
@@ -468,17 +510,53 @@ def main():
     def remaining():
         return min(DEADLINE_S - (time.time() - t_metrics), hard_remaining())
 
+    # --- parallel prewarm: lower+compile EVERY metric graph concurrently.
+    # Server-side compile latency for one graph varied 13 s..5.5 min on the
+    # same day and the server cache evicts within tens of minutes, so five
+    # sequential children can each pay a full compile; five concurrent
+    # prewarms pay ~max(compile) once, and the timed metrics then hit a
+    # warm server cache. Stragglers are left to finish — NEVER killed:
+    # SIGKILLing a mid-compile child can wedge the backend for minutes
+    # (observed 2026-08-20 / VERDICT r4 keep-warm incident).
+    prewarm_budget = min(420.0, max(0.0, remaining() - 600.0))
+    if prewarm_budget > 60:
+        print(f"# prewarm: compiling {len(METRICS)} graphs in parallel "
+              f"(waiting up to {prewarm_budget:.0f}s for the train graph; "
+              "the rest keep compiling in the background)", flush=True)
+        procs = [
+            (name, subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--metric", name, "--prewarm"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                start_new_session=True))
+            for name, _ in METRICS
+        ]
+        t0 = time.time()
+        # wait only for the FIRST metric's (train) prewarm: later metrics'
+        # prewarms gain time while the earlier metrics measure
+        while (time.time() - t0 < prewarm_budget
+               and procs[0][1].poll() is None):
+            time.sleep(2)
+        done = sorted(n for n, p in procs if p.poll() is not None)
+        print(f"# prewarm: {len(done)}/{len(procs)} compiled in "
+              f"{time.time() - t0:.0f}s ({', '.join(done) or 'none'}); "
+              "proceeding", flush=True)
+
     # --- metrics: one subprocess each, per-metric + overall deadline;
     # a child whose backend init hangs is killed at INIT_TIMEOUT_S and
     # retried once (the hang is intermittent — the next attach usually
-    # succeeds in seconds) ----------------------------------------------
+    # succeeds in seconds). A metric that TIMES OUT gets one retry AFTER
+    # the others: the backend's slow windows (compile/transfer latency
+    # varied 13 s..5.5 min for the same graph on 2026-08-20) usually pass
+    # within minutes, so a late retry often lands in a fast window. ------
     headline_line = None
-    for name, budget_cap in METRICS:
+
+    def run_one(name, budget_cap):
+        nonlocal headline_line
         for attempt in (1, 2):
             budget = min(budget_cap, remaining() - 30.0)
             if budget < 90:
-                _emit_error(name, "skipped: overall bench deadline reached")
-                break
+                return "deadline"
             rc, lines = _run_child(
                 ["--metric", name], budget,
                 init_timeout_s=min(INIT_TIMEOUT_S, budget - 30.0))
@@ -487,17 +565,46 @@ def main():
                       f"{INIT_TIMEOUT_S:.0f}s, retrying", flush=True)
                 continue
             if rc == "init-timeout":
-                _emit_error(name, "backend init hung on both attempts")
-            elif rc == "timeout":
-                _emit_error(name, f"timeout after {budget:.0f}s (killed)")
-            elif rc != 0:
+                return "backend init hung on both attempts"
+            if rc == "timeout":
+                return f"timeout after {budget:.0f}s (killed)"
+            if rc != 0:
                 tail = "; ".join(lines[-3:])[-300:] if lines else ""
-                _emit_error(name, f"subprocess rc={rc}: {tail}")
-            elif name == "headline":
+                return f"subprocess rc={rc}: {tail}"
+            if name == "headline":
                 for ln in lines:
                     if ln.startswith("{") and '"value"' in ln:
                         headline_line = ln
+            return "ok"
+        return "ok"
+
+    failures = {}
+    for name, cap in METRICS:
+        status = run_one(name, cap)
+        if status == "ok":
+            continue
+        if status == "deadline":
+            failures[name] = "skipped: overall bench deadline reached"
+        else:
+            failures[name] = status
+            print(f"# {name}: {status}; will retry after the other metrics",
+                  flush=True)
+
+    for name, cap in METRICS:
+        if name not in failures or failures[name].startswith("skipped"):
+            continue
+        if remaining() < 150:
             break
+        print(f"# retry: {name}", flush=True)
+        status = run_one(name, cap)
+        if status == "ok":
+            del failures[name]
+        elif status != "deadline":
+            failures[name] = status + " (retry)"
+
+    for name, _ in METRICS:
+        if name in failures:
+            _emit_error(name, failures[name])
 
     # --- on-chip Pallas kernel gate (VERDICT r4 item 7): certify the
     # Mosaic compile on real hardware every round. Runs AFTER the metrics
@@ -537,6 +644,8 @@ if __name__ == "__main__":
     if "--preflight" in sys.argv:
         run_preflight()
     elif "--metric" in sys.argv:
+        if "--prewarm" in sys.argv:
+            PREWARM = True
         run_metric(sys.argv[sys.argv.index("--metric") + 1])
     elif "--selftest-child" in sys.argv:
         i = sys.argv.index("--selftest-child")

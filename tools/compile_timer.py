@@ -85,7 +85,10 @@ def main():
             "masks": jnp.asarray((rng.rand(B, G, H, W) > 0.8).astype(np.float32)),
             "valid": jnp.asarray(np.ones((B, G), bool)),
         }
-        state = trainer.init_state(jax.random.PRNGKey(0), batch["images"][:1])
+        # tiny init sample: param shapes are image-size independent and the
+        # full-res init graph would cost its own multi-minute server compile
+        state = trainer.init_state(jax.random.PRNGKey(0),
+                                   batch["images"][:1, :64, :64])
         step_fn = trainer.compile_step(state)
         with trainer.mesh:
             batch = shard_batch(batch, trainer.mesh)
@@ -119,12 +122,12 @@ def main():
             images = jnp.asarray(
                 rng.rand(B, T, H, W, 3).astype(np.float32) * 255)
             norm = lambda im: normalize_images(im, cfg.model)
-            init_images = images[:, :2]
+            init_images = images[:, :2, :64, :64]
         else:
             model = build_model(cfg)
             images = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255)
             norm = lambda im: normalize_images(im, cfg.model)
-            init_images = images[:1]
+            init_images = images[:1, :64, :64]
         variables = model.init(jax.random.PRNGKey(0), norm(init_images))
 
         @jax.jit

@@ -213,9 +213,13 @@ def main():
     )
 
     first = next(loader)
-    state = trainer.init_state(
-        jax.random.PRNGKey(cfg.train.seed), jnp.asarray(first["images"][:1])
-    )
+    # init on a tiny crop of the sample: parameter shapes do not depend on
+    # the image size, and a full-resolution init graph costs a multi-minute
+    # extra device compile that the training step never reuses (round-5
+    # time-to-first-step work; reference reaches step 1 in under a minute,
+    # train_net.py:305-322)
+    sample = jnp.asarray(first["images"][:1])[..., :64, :64, :]
+    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed), sample)
     ckpt = Checkpointer(os.path.join(args.output, "checkpoints"))
     state = ckpt.resume_or_load(state, resume=args.resume)
 

@@ -352,29 +352,32 @@ class MSDeformAttnPixelDecoder(nn.Module):
         # Param tree: encoder_layers/... with shape (n_layers, ...), mapped
         # from the reference's transformer.encoder.layers.{i} by the
         # checkpoint converter (utils/convert_weights.py).
-        layer = layer_cls(
-            d_model=conv_dim,
-            d_ffn=cfg.transformer_dim_feedforward,
-            n_levels=L,
-            n_heads=cfg.transformer_nheads,
-            n_points=cfg.transformer_n_points,
-            dtype=self.dtype,
-            impl=self.deform_impl or getattr(cfg, "deform_impl", "im2col"),
-            q_chunks=cfg.deform_q_chunks,
-            q_tile=getattr(cfg, "deform_q_tile", 256),
-            name="encoder_layers",
-        )
+        if cfg.transformer_enc_layers > 0:  # length-0 scan would create
+            # zero-size stacked params (orbax refuses to checkpoint those);
+            # no layers means no params, like the unrolled loop
+            layer = layer_cls(
+                d_model=conv_dim,
+                d_ffn=cfg.transformer_dim_feedforward,
+                n_levels=L,
+                n_heads=cfg.transformer_nheads,
+                n_points=cfg.transformer_n_points,
+                dtype=self.dtype,
+                impl=self.deform_impl or getattr(cfg, "deform_impl", "im2col"),
+                q_chunks=cfg.deform_q_chunks,
+                q_tile=getattr(cfg, "deform_q_tile", 256),
+                name="encoder_layers",
+            )
 
-        def body(mod, carry, _):
-            return mod(carry, pos, ref_points, shapes), None
+            def body(mod, carry, _):
+                return mod(carry, pos, ref_points, shapes), None
 
-        scan = nn.scan(
-            body,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            length=cfg.transformer_enc_layers,
-        )
-        src, _ = scan(layer, src, None)
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.transformer_enc_layers,
+            )
+            src, _ = scan(layer, src, None)
 
         # split back to images, top-down order (res5 first)
         out: List[jnp.ndarray] = []

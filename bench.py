@@ -165,6 +165,61 @@ PREWARM = False
 PREWARM_MARKER = "# prewarmed"
 
 
+_T0 = time.time()
+
+PARAM_CACHE_DIR = os.environ.get("BENCH_PARAM_CACHE_DIR",
+                                 "/root/.bm2f_bench_params")
+
+
+def _cached_init(tag, init_fn, shape_fn):
+    """Disk-cache a metric child's init variables. model.init is a DEVICE
+    computation; during backend slow windows even the tiny 64x64 init graph
+    queued for minutes per child. Values are deterministic (PRNGKey(0)), so
+    caching them is measurement-neutral. `shape_fn` returns
+    jax.eval_shape(init) — cheap, local — used to reject a stale cache
+    after model-code changes (structure or shapes differ -> re-init)."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    path = os.path.join(PARAM_CACHE_DIR, f"{tag}.pkl")
+    want = shape_fn()
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                tree = pickle.load(f)
+            ok = jax.tree_util.tree_structure(tree) == \
+                jax.tree_util.tree_structure(want)
+            if ok:
+                flat = zip(jax.tree.leaves(tree), jax.tree.leaves(want))
+                ok = all(a.shape == b.shape and a.dtype == b.dtype
+                         for a, b in flat)
+            if ok:
+                _mark(f"init loaded from cache ({tag})")
+                return jax.tree.map(jnp.asarray, tree)
+            print(f"# param cache stale for {tag}; re-initializing",
+                  flush=True)
+        except Exception as e:  # corrupt cache: fall through to re-init
+            print(f"# param cache unreadable ({e!r}); re-initializing",
+                  flush=True)
+    variables = init_fn()
+    host = jax.tree.map(lambda x: np.asarray(x), variables)
+    os.makedirs(PARAM_CACHE_DIR, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(host, f)
+    os.replace(tmp, path)
+    return variables
+
+
+def _mark(phase):
+    """Phase timestamps in every metric child: backend slow windows showed
+    up as 5-min children with ~18 s of local CPU, and without these marks
+    the stall was unattributable (compile vs attach vs weight upload)."""
+    print(f"# t+{time.time() - _T0:6.1f}s {phase}", flush=True)
+
+
 def _fwd_bench(cfg_name, B, H, W, iters, overrides=None,
                per_iter_sync=False):
     """Forward throughput with data-dependent chaining (the axon runtime
@@ -189,8 +244,14 @@ def _fwd_bench(cfg_name, B, H, W, iters, overrides=None,
     # compile the benchmark never uses (found via the 44 s _value block in
     # the round-5 lowering profile — the init graph's async compile+run is
     # what the first host sync actually waits for)
-    variables = model.init(jax.random.PRNGKey(0),
-                           normalize_images(images[:1, :64, :64], cfg.model))
+    _mark("model built; init")
+    init_arg = normalize_images(images[:1, :64, :64], cfg.model)
+    variables = _cached_init(
+        cfg_name,
+        lambda: model.init(jax.random.PRNGKey(0), init_arg),
+        lambda: jax.eval_shape(model.init, jax.random.PRNGKey(0), init_arg),
+    )
+    _mark("init done; lower+compile")
 
     # params as jit ARGUMENTS, not closure constants: closed-over arrays are
     # embedded in the serialized HLO, and Swin-L's ~200M params overflow the
@@ -207,6 +268,7 @@ def _fwd_bench(cfg_name, B, H, W, iters, overrides=None,
     if PREWARM:
         print(PREWARM_MARKER, flush=True)
         return None, None, None
+    _mark("compiled; warmup (uploads weights)")
     flops, nbytes = _cost_analysis(compiled)
 
     # warmup MUST sync by pulling a scalar: block_until_ready is a no-op on
@@ -217,6 +279,7 @@ def _fwd_bench(cfg_name, B, H, W, iters, overrides=None,
     logits, _ = compiled(variables, images, shift)
     shift = logits[0, 0, 0].astype(jnp.float32) * 1e-6
     float(shift)
+    _mark("warm; timed loop")
 
     times = []
     t0 = time.perf_counter()
@@ -258,19 +321,30 @@ def bench_train():
     }
     # tiny init sample: param shapes don't depend on image size, and a
     # 1024^2 init graph would cost its own multi-minute server compile
-    state = trainer.init_state(jax.random.PRNGKey(0),
-                               batch["images"][:1, :64, :64])
+    _mark("trainer built; init_state")
+    sample = batch["images"][:1, :64, :64]
+    state = _cached_init(
+        "train_coco_instance_r50",
+        lambda: trainer.init_state(jax.random.PRNGKey(0), sample),
+        # eval_shape also sets trainer.tx (init_state's side effect) so
+        # compile_step works on the cache-hit path too
+        lambda: jax.eval_shape(trainer.init_state, jax.random.PRNGKey(0),
+                               sample),
+    )
     step_fn = trainer.compile_step(state)
     with trainer.mesh:
         batch = shard_batch(batch, trainer.mesh)
         state = trainer.shard_state(state)
+        _mark("state sharded; lower+compile")
         compiled = step_fn.lower(state, batch).compile()
         if PREWARM:
             print(PREWARM_MARKER, flush=True)
             return None, None
+        _mark("compiled; first step (uploads state)")
         flops, nbytes = _cost_analysis(compiled)
         state, metrics = compiled(state, batch)  # first run
         float(metrics["total_loss"])
+        _mark("warm; timed loop")
         iters = 5
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -355,9 +429,13 @@ def run_metric(name):
         model = build_video_model(cfg)
         rng = np.random.RandomState(0)
         images = jnp.asarray(rng.rand(B, T, H, W, 3).astype(np.float32) * 255)
-        variables = model.init(
-            jax.random.PRNGKey(0),
-            normalize_images(images[:, :2, :64, :64], cfg.model))
+        init_arg = normalize_images(images[:, :2, :64, :64], cfg.model)
+        variables = _cached_init(
+            "video_ytvis2021_r50",
+            lambda: model.init(jax.random.PRNGKey(0), init_arg),
+            lambda: jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                                   init_arg),
+        )
 
         @jax.jit
         def fwd(variables, images, shift):
@@ -518,29 +596,19 @@ def main():
     # warm server cache. Stragglers are left to finish — NEVER killed:
     # SIGKILLing a mid-compile child can wedge the backend for minutes
     # (observed 2026-08-20 / VERDICT r4 keep-warm incident).
-    prewarm_budget = min(420.0, max(0.0, remaining() - 600.0))
-    if prewarm_budget > 60:
-        print(f"# prewarm: compiling {len(METRICS)} graphs in parallel "
-              f"(waiting up to {prewarm_budget:.0f}s for the train graph; "
-              "the rest keep compiling in the background)", flush=True)
-        procs = [
-            (name, subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__),
-                 "--metric", name, "--prewarm"],
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                start_new_session=True))
-            for name, _ in METRICS
-        ]
-        t0 = time.time()
-        # wait only for the FIRST metric's (train) prewarm: later metrics'
-        # prewarms gain time while the earlier metrics measure
-        while (time.time() - t0 < prewarm_budget
-               and procs[0][1].poll() is None):
-            time.sleep(2)
-        done = sorted(n for n, p in procs if p.poll() is not None)
-        print(f"# prewarm: {len(done)}/{len(procs)} compiled in "
-              f"{time.time() - t0:.0f}s ({', '.join(done) or 'none'}); "
-              "proceeding", flush=True)
+    # spawn prewarms for every metric AFTER the first and proceed
+    # immediately: the first (train) metric's own child performs the train
+    # compile anyway, and waiting for a prewarm wait-loop only burned
+    # deadline (328-512 s measured). Later metrics' graphs compile in the
+    # background while earlier metrics measure.
+    print(f"# prewarm: compiling {len(METRICS) - 1} later graphs in "
+          "background subprocesses", flush=True)
+    for name, _ in METRICS[1:]:
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--metric", name, "--prewarm"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True)
 
     # --- metrics: one subprocess each, per-metric + overall deadline;
     # a child whose backend init hangs is killed at INIT_TIMEOUT_S and

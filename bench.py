@@ -603,12 +603,14 @@ def main():
     # background while earlier metrics measure.
     print(f"# prewarm: compiling {len(METRICS) - 1} later graphs in "
           "background subprocesses", flush=True)
-    for name, _ in METRICS[1:]:
-        subprocess.Popen(
+    prewarm_procs = [
+        (name, subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--metric", name, "--prewarm"],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            start_new_session=True)
+            start_new_session=True))
+        for name, _ in METRICS[1:]
+    ]
 
     # --- metrics: one subprocess each, per-metric + overall deadline;
     # a child whose backend init hangs is killed at INIT_TIMEOUT_S and
@@ -691,6 +693,25 @@ def main():
                                         if lines else ""))
     else:
         _emit_error("onchip_kernel_check", "skipped: no time budget left")
+
+    # --- leave the chip clean: the metrics took >=10 min, so any prewarm
+    # child still alive is WEDGED (its compile long since finished or will
+    # never finish), not mid-compile — reap it rather than leave a stray
+    # process behind for the next run
+    deadline = time.time() + 30
+    for name, p in prewarm_procs:
+        try:
+            p.wait(timeout=max(0.1, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            print(f"# reaping wedged prewarm child for {name}", flush=True)
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                p.kill()
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass
 
     # --- headline re-emitted as the LAST line (same measurement) --------
     if headline_line is not None:

@@ -62,3 +62,45 @@ def test_success_without_init_watchdog():
     rc, lines, _ = _child(pre=0, post=0, timeout_s=30, init_timeout_s=None)
     assert rc == 0
     assert any("selftest child done" in ln for ln in lines)
+
+
+def test_cached_init_miss_hit_and_stale(tmp_path, monkeypatch):
+    """bench._cached_init: first call populates the disk cache, second call
+    loads identical values without calling init_fn, and a structure/shape
+    mismatch (stale cache after a model change) falls back to re-init."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench
+
+    monkeypatch.setattr(bench, "PARAM_CACHE_DIR", str(tmp_path))
+    calls = []
+
+    def init_fn():
+        calls.append(1)
+        return {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+                "b": {"c": jnp.ones((4,), jnp.int32)}}
+
+    def shape_fn():
+        return jax.eval_shape(init_fn)
+
+    v1 = bench._cached_init("t", init_fn, shape_fn)
+    assert calls == [1, 1]  # shape_fn's eval_shape traces init_fn once too
+    v2 = bench._cached_init("t", init_fn, shape_fn)
+    # cache hit: init_fn only ran under eval_shape (abstract), not for real
+    for a, b in zip(jax.tree.leaves(v1), jax.tree.leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # stale: different shapes under the same tag must re-init, not crash
+    def init_fn2():
+        calls.append(2)
+        return {"a": jnp.zeros((5, 3)), "b": {"c": jnp.ones((4,), jnp.int32)}}
+
+    v3 = bench._cached_init("t", init_fn2, lambda: jax.eval_shape(init_fn2))
+    assert v3["a"].shape == (5, 3)
+    # and the refreshed cache now hits
+    n_calls = len(calls)
+    v4 = bench._cached_init("t", init_fn2, lambda: jax.eval_shape(init_fn2))
+    assert v4["a"].shape == (5, 3)
+    assert len([c for c in calls[n_calls:] if c == 2]) <= 1  # abstract only

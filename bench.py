@@ -56,10 +56,19 @@ import time
 
 import numpy as np
 
-# persistent XLA compilation cache (this environment ships with
-# jax_enable_compilation_cache=False; both knobs are needed)
-os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "true")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# The LOCAL persistent compile cache is DISABLED for bench: measured on
+# the axon backend it never skips the server-side compile (the entry gets
+# written but a fresh process still waits the full compile), and it CAN
+# serve a stale executable whose hoisted-constant calling convention does
+# not match the current process's tracing ("Computation compiled for 628
+# inputs but called with 585", 2026-08-20 — the jaxpr's 43 consts were
+# hoisted as executable inputs by the cached build but tracked as empty
+# const_args by the new trace). The server-side HLO cache provides all the
+# real warm-start benefit. FORCED, not setdefault: metric children inherit
+# the parent's environment, and any pre-set "true" (e.g. from an older
+# bench parent or the surrounding shell) resurrects the stale-executable
+# hazard.
+os.environ["JAX_ENABLE_COMPILATION_CACHE"] = "false"
 
 A100_ESTIMATE_IMG_PER_S = 17.2
 A100_ESTIMATE_SWINL_IMG_PER_S = 4.0

@@ -335,11 +335,19 @@ def bench_train():
     state = _cached_init(
         "train_coco_instance_r50",
         lambda: trainer.init_state(jax.random.PRNGKey(0), sample),
-        # eval_shape also sets trainer.tx (init_state's side effect) so
-        # compile_step works on the cache-hit path too
         lambda: jax.eval_shape(trainer.init_state, jax.random.PRNGKey(0),
                                sample),
     )
+    # ALWAYS rebuild the optimizer from the concrete params: on the
+    # cache-hit path trainer.tx was created inside jax.eval_shape's
+    # abstract trace (init_state's side effect), and an optimizer built
+    # under a trace poisons the train step's constant tracking — the AOT
+    # executable hoists the jaxpr consts as inputs while the Compiled
+    # wrapper tracks zero const_args ("compiled for 628 inputs but called
+    # with 585"; reproduced and fixed 2026-08-20).
+    from bm2f_tpu.train.optim import make_optimizer
+
+    trainer.tx = make_optimizer(cfg.train.optimizer, state.params)
     step_fn = trainer.compile_step(state)
     with trainer.mesh:
         batch = shard_batch(batch, trainer.mesh)

@@ -89,21 +89,21 @@ INIT_MARKER = "# backend up"
 # (VERDICT r4: a slow preflight used to eat the metric budgets); a hard
 # total cap still bounds the whole run under the driver's external timeout
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1380"))
-HARD_TOTAL_S = float(os.environ.get("BENCH_HARD_TOTAL_S", "1500"))
+# 60 s of headroom under the ~25-min (1500 s) external driver timeout so
+# the tail work (kernel gate result, prewarm reap, final headline re-emit)
+# always lands before an external kill
+HARD_TOTAL_S = float(os.environ.get("BENCH_HARD_TOTAL_S", "1440"))
 
 # v5e peak numbers for the hardware-grounded utilization fields
 # (VERDICT r4 item 6): bf16 matmul peak and HBM bandwidth
 V5E_PEAK_FLOPS = 197e12
 V5E_HBM_BYTES_S = 819e9
 
-# (name, per-metric timeout seconds). Ordered by importance; headline runs
-# first so it survives even a tight external timeout, and is re-emitted last.
-# train FIRST: its cold compile (~23 min measured) can never fit a metric
-# budget, so it must run while a pre-round warm is still resident in the
-# server-side compile cache — which evicts within tens of minutes (measured
-# 2026-08-19: graphs warmed 40-100 min earlier all missed). The headline
-# R50 forward cold-compiles in ~7 min and fits its budget at any position;
-# its JSON line is re-emitted as the LAST line either way.
+# (name, per-metric timeout seconds), run in order; the headline JSON line
+# is re-emitted as the LAST line for single-line parsers. train runs first
+# because it is the most valuable metric and historically the hardest to
+# capture; since round 5 it fits its budget COLD (see below), so ordering
+# is about priority under a tight deadline, not cache residency.
 # Budgets sized to the round-5 scan-ified graphs' COLD costs measured on
 # the chip (tools/compile_timer.py): headline lower 3.6 s + compile 13 s
 # (was ~7 min unrolled); train lower ~300 s (AD tracing, the remaining
@@ -617,7 +617,11 @@ def main():
     # immediately: the first (train) metric's own child performs the train
     # compile anyway, and waiting for a prewarm wait-loop only burned
     # deadline (328-512 s measured). Later metrics' graphs compile in the
-    # background while earlier metrics measure.
+    # background while earlier metrics measure. Contention note: prewarm
+    # children compile server-side and only touch the device for tiny
+    # 64x64 inits, and the measured train s/it was IDENTICAL (0.44) with
+    # prewarms racing (runs #4/#7, 2026-08-20) and solo — the timed loops
+    # are not measurably perturbed.
     print(f"# prewarm: compiling {len(METRICS) - 1} later graphs in "
           "background subprocesses", flush=True)
     prewarm_procs = [
@@ -715,7 +719,7 @@ def main():
     # child still alive is WEDGED (its compile long since finished or will
     # never finish), not mid-compile — reap it rather than leave a stray
     # process behind for the next run
-    deadline = time.time() + 30
+    deadline = time.time() + min(20.0, max(0.0, hard_remaining() - 20.0))
     for name, p in prewarm_procs:
         try:
             p.wait(timeout=max(0.1, deadline - time.time()))

@@ -166,27 +166,31 @@ def convert_pixel_decoder(sd: Dict, params: Dict, enc_layers: int = 6,
     _set(params, f"{p}/level_embed", sd[f"{pre}.transformer.level_embed"])
 
     # encoder layers are a single nn.scan module with STACKED params
-    # (leading axis = layer) — stack the reference's per-layer tensors
+    # (leading axis = layer) — stack the reference's per-layer tensors.
+    # Zero layers means the model creates NO encoder params (the scan is
+    # skipped entirely, models/pixel_decoder.py) — emit none here either.
     def stack_enc(fn):
         return np.stack([fn(f"{pre}.transformer.encoder.layers.{i}")
                          for i in range(enc_layers)])
 
-    dst = f"{p}/encoder_layers"
-    for m in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
-        _set(params, f"{dst}/self_attn/{m}/kernel",
-             stack_enc(lambda s, m=m: _lin(sd[f"{s}.self_attn.{m}.weight"])))
-        _set(params, f"{dst}/self_attn/{m}/bias",
-             stack_enc(lambda s, m=m: sd[f"{s}.self_attn.{m}.bias"]))
-    for m in ("linear1", "linear2"):
-        _set(params, f"{dst}/{m}/kernel",
-             stack_enc(lambda s, m=m: _lin(sd[f"{s}.{m}.weight"])))
-        _set(params, f"{dst}/{m}/bias",
-             stack_enc(lambda s, m=m: sd[f"{s}.{m}.bias"]))
-    for m in ("norm1", "norm2"):
-        _set(params, f"{dst}/{m}/scale",
-             stack_enc(lambda s, m=m: sd[f"{s}.{m}.weight"]))
-        _set(params, f"{dst}/{m}/bias",
-             stack_enc(lambda s, m=m: sd[f"{s}.{m}.bias"]))
+    if enc_layers > 0:
+        dst = f"{p}/encoder_layers"
+        for m in ("sampling_offsets", "attention_weights", "value_proj",
+                  "output_proj"):
+            _set(params, f"{dst}/self_attn/{m}/kernel",
+                 stack_enc(lambda s, m=m: _lin(sd[f"{s}.self_attn.{m}.weight"])))
+            _set(params, f"{dst}/self_attn/{m}/bias",
+                 stack_enc(lambda s, m=m: sd[f"{s}.self_attn.{m}.bias"]))
+        for m in ("linear1", "linear2"):
+            _set(params, f"{dst}/{m}/kernel",
+                 stack_enc(lambda s, m=m: _lin(sd[f"{s}.{m}.weight"])))
+            _set(params, f"{dst}/{m}/bias",
+                 stack_enc(lambda s, m=m: sd[f"{s}.{m}.bias"]))
+        for m in ("norm1", "norm2"):
+            _set(params, f"{dst}/{m}/scale",
+                 stack_enc(lambda s, m=m: sd[f"{s}.{m}.weight"]))
+            _set(params, f"{dst}/{m}/bias",
+                 stack_enc(lambda s, m=m: sd[f"{s}.{m}.bias"]))
 
     _set(params, f"{p}/mask_features/kernel", _conv(sd[f"{pre}.mask_features.weight"]))
     _set(params, f"{p}/mask_features/bias", sd[f"{pre}.mask_features.bias"])

@@ -37,17 +37,25 @@ def main():
                     choices=["train", "headline", "swinl", "p50", "video"])
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (fast off-chip iteration)")
+    ap.add_argument("--cache", action="store_true",
+                    help="enable the LOCAL persistent compile cache "
+                    "(default off: on the axon backend a hit does not skip "
+                    "the server compile but CAN serve a stale executable "
+                    "with a mismatched hoisted-constant calling convention "
+                    "— see bench.py's header — and any hit corrupts the "
+                    "compile_s measurement this tool exists to produce)")
     ap.add_argument("--no-cache", action="store_true",
-                    help="do not read/write the persistent compile cache")
+                    help="(default; kept for compatibility)")
     ap.add_argument("--run", action="store_true",
                     help="also execute the compiled graph once (sanity)")
     args = ap.parse_args()
 
-    if not args.no_cache:
+    if args.cache and not args.no_cache:
         os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "true")
         os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     else:
         os.environ["JAX_ENABLE_COMPILATION_CACHE"] = "false"
+        args.no_cache = True
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
 
